@@ -1,0 +1,83 @@
+"""Global configuration for the TPU-native spatial-GP framework.
+
+Mirrors the numerics posture of the reference implementation
+(reference: Spatial_GP_repo/utils.py:31-41): the reference runs float64 with
+MIN_TOLERANCE=1e-11 and EIGVAL_TOL=1e-4.  On TPU we default to float32 compute
+with HIGHEST matmul precision (3-pass bf16 on the MXU, accurate to f32) and
+expose an x64 mode (CPU / validation) through standard ``jax.config``
+``jax_enable_x64``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+# Tolerance below which a matrix is not considered symmetric / posdef
+# (reference: Spatial_GP_repo/utils.py:37).
+MIN_TOLERANCE = 1.0e-11
+
+# Relative eigenvalue cutoff for the stabilizing eigenspace projection
+# (reference: Spatial_GP_repo/utils.py:39).
+EIGVAL_TOL = 1.0e-4
+
+# Hard threshold on the localized RF envelope alpha; pixels with
+# alpha < ALPHA_THRESHOLD contribute exactly zero to the kernel.  The
+# reference crops them out of the computation (dynamic shapes,
+# Spatial_GP_repo/utils.py:883-887); we zero their weight instead, which gives
+# bit-identical Gram entries with fully static shapes.
+ALPHA_THRESHOLD = 1.0e-3
+
+# Additive guard in the cosine-angle denominator
+# (reference: Spatial_GP_repo/utils.py:984).
+COSDELTA_JITTER = 1.0e-7
+
+# Matmul precision for all kernel/Gram contractions.  HIGHEST makes the MXU
+# produce f32-accurate products (required to match the f64 reference to the
+# 1e-5 target at nx ~ 1e4 contraction lengths).
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def default_dtype() -> jnp.dtype:
+    """Framework compute dtype: f64 iff jax_enable_x64 is on, else f32."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    """Configuration of one EM fit (the ``fit_parameters`` dict of the
+    reference, Spatial_GP_repo/utils.py:1632-1645, with identical defaults)."""
+
+    ntilde: Optional[int] = None      # inducing points (None -> min(100, nt))
+    maxiter: int = 50                 # outer EM iterations
+    n_estep: int = 50                 # E-step (m, V + f-param) iterations per outer
+    n_mstep: int = 20                 # L-BFGS iterations on theta per outer
+    n_fparamstep: int = 10            # L-BFGS iterations on logA per E-step
+    n_px_side: int = 108              # stimulus is n_px_side x n_px_side pixels
+    cellid: int = 0
+    kernfun: str = "acosker"
+    eigval_tol: float = EIGVAL_TOL
+    min_tolerance: float = MIN_TOLERANCE
+    alpha_threshold: float = ALPHA_THRESHOLD
+    lr_fparams: float = 0.1           # reference: utils.py:1895
+    lr_hyperparams: float = 0.1       # reference: utils.py:2009
+    track_variational: bool = True    # record (m_b, V_b) per iteration
+    jit_whole_fit: bool = True        # compile the entire EM loop as one program
+
+    def resolve_ntilde(self, nt: int) -> int:
+        if self.ntilde is not None:
+            return self.ntilde
+        return 100 if nt > 100 else nt
+
+
+def tree_cast(tree: Any, dtype) -> Any:
+    """Cast every floating leaf of a pytree to ``dtype``."""
+    def _cast(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree_util.tree_map(_cast, tree)

@@ -1,0 +1,248 @@
+"""TPU-native kernel construction for the spatial GP.
+
+The reference (Spatial_GP_repo/utils.py:861-1050) builds a dense pixel-space
+prior matrix ``C = Amp * (alpha alpha^T) . C_smooth`` over a dynamically
+cropped pixel subset, then forms arc-cosine Gram matrices through it.  Both
+choices (materialized nx-by-nx matrix, data-dependent crop) are hostile to
+XLA.  This module re-architects the same math TPU-first:
+
+1. **Kronecker factorization.**  On the regular n-by-n pixel grid the
+   smoothness prior separates exactly: ``C_smooth = S (row axis) (x) S (col
+   axis)`` with ``S[a, b] = exp(-g_rho (lin_a - lin_b)^2)`` an n-by-n matrix.
+   Applying C to an image w is ``Amp * alpha . vec(S W S)`` where W is the
+   alpha-weighted image — two n-by-n matmuls on the MXU instead of one
+   nx-by-nx (n^2 x n^2) matrix-vector product.  C is never materialized on
+   the hot path.
+
+2. **Static masking.**  The reference crops pixels whose envelope
+   ``alpha < 1e-3`` (utils.py:883-887).  Because a cropped pixel only ever
+   enters the Gram through products weighted by its alpha, zeroing its weight
+   (``alpha_eff = where(alpha >= 1e-3, alpha, 0)``) yields *identical* kernel
+   values with fully static shapes...  almost: the reference keeps the raw
+   stimulus values of cropped pixels out of the smoothing sum as well.  Since
+   C couples pixels i,j through alpha_i * alpha_j, zeroing alpha removes both
+   row and column exactly.  The Gram matrices agree to machine precision.
+
+3. **Safe arc-cosine J.**  The order-1 arc-cosine angular factor
+   ``J(c) = (sqrt(1-c^2) + (pi - acos(c)) c) / pi`` has the well-known
+   removable singularity dJ/dc = (pi - acos(c))/pi at |c| -> 1 that autodiff
+   turns into inf - inf = NaN.  We register the analytic derivative via
+   custom_jvp (reference keeps hand gradients for the same reason,
+   utils.py:1000).
+
+All matmuls run at ``Precision.HIGHEST`` so f32 TPU results track the f64
+reference to ~1e-6 relative error at nx ~ 1.2e4 contraction lengths.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ALPHA_THRESHOLD, COSDELTA_JITTER, MATMUL_PRECISION
+
+Theta = Dict[str, jnp.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# Pixel grid and localized + smooth prior (reference: utils.py:861-914)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _grid_1d_np(n_px_side: int):
+    import numpy as np
+    return np.linspace(-1.0, 1.0, n_px_side)
+
+
+def pixel_coords(n_px_side: int, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flattened (xcord, ycord) of the n x n grid, 'ij' indexing: pixel
+    p = i * n + j has ycord = lin[i], xcord = lin[j]
+    (reference: utils.py:876-879)."""
+    lin = jnp.asarray(_grid_1d_np(n_px_side), dtype)
+    ycord = jnp.repeat(lin, n_px_side)
+    xcord = jnp.tile(lin, n_px_side)
+    return xcord, ycord
+
+
+def local_envelope(theta: Theta, n_px_side: int, dtype=None,
+                   alpha_threshold: float = ALPHA_THRESHOLD):
+    """Localized RF envelope alpha over the flattened grid, hard-thresholded
+    to zero below ``alpha_threshold`` (reference crops instead,
+    utils.py:880-887).  Returns (alpha_eff, logalpha, mask)."""
+    if dtype is None:
+        dtype = theta["Amp"].dtype
+    xcord, ycord = pixel_coords(n_px_side, dtype)
+    gb = jnp.exp(theta["-2log2beta"])          # 1 / (4 beta^2)
+    logalpha = -gb * ((xcord - theta["eps_0x"]) ** 2 +
+                      (ycord - theta["eps_0y"]) ** 2)
+    alpha = jnp.exp(logalpha)
+    mask = alpha >= alpha_threshold
+    alpha_eff = jnp.where(mask, alpha, jnp.zeros((), dtype))
+    return alpha_eff, logalpha, mask
+
+
+def smooth_factor(theta: Theta, n_px_side: int, dtype=None) -> jnp.ndarray:
+    """1-D RBF factor S of the separable smoothness prior:
+    ``C_smooth = S (row) (x) S (col)``, S[a,b] = exp(-g_rho (lin_a-lin_b)^2)
+    (reference materializes the full C_smooth, utils.py:890-892)."""
+    if dtype is None:
+        dtype = theta["Amp"].dtype
+    lin = jnp.asarray(_grid_1d_np(n_px_side), dtype)
+    gr = jnp.exp(theta["-log2rho2"])            # 1 / (2 rho^2)
+    d2 = (lin[:, None] - lin[None, :]) ** 2
+    return jnp.exp(-gr * d2)
+
+
+def materialize_C(theta: Theta, n_px_side: int, dtype=None,
+                  alpha_threshold: float = ALPHA_THRESHOLD):
+    """Dense nx-by-nx prior matrix C with masked rows/cols zeroed, plus the
+    boolean mask.  For tests, small problems, and API parity with the
+    reference's ``localker`` (utils.py:861-914); the hot path never calls
+    this."""
+    alpha_eff, _, mask = local_envelope(theta, n_px_side, dtype, alpha_threshold)
+    S = smooth_factor(theta, n_px_side, dtype)
+    C_smooth = jnp.einsum("ik,jl->ijkl", S, S).reshape(
+        n_px_side * n_px_side, n_px_side * n_px_side)
+    C = theta["Amp"] * alpha_eff[:, None] * C_smooth * alpha_eff[None, :]
+    C = 0.5 * (C + C.T)
+    return C, mask
+
+
+# ---------------------------------------------------------------------------
+# Quadratic forms through C without materializing it
+# ---------------------------------------------------------------------------
+
+def smooth_apply(S: jnp.ndarray, w: jnp.ndarray, n_px_side: int) -> jnp.ndarray:
+    """Apply the separable smoothness prior to flattened images w
+    (batch, nx): reshape to (batch, n, n), compute S W S, flatten back."""
+    b = w.shape[0]
+    imgs = w.reshape(b, n_px_side, n_px_side)
+    out = jnp.einsum("ik,bkl,lj->bij", S, imgs, S,
+                     precision=MATMUL_PRECISION)
+    return out.reshape(b, n_px_side * n_px_side)
+
+
+def quad_forms(theta: Theta, x1: jnp.ndarray, x2: Optional[jnp.ndarray],
+               n_px_side: int, alpha_threshold: float = ALPHA_THRESHOLD,
+               with_cross: bool = True):
+    """All quadratic forms through C needed for an arc-cosine Gram block.
+
+    Returns ``(q11, q22, q12)`` with q11 = diag(x1^T C x1), q22 = diag(x2^T C
+    x2), and q12 = x1^T C x2 (or None when with_cross=False / x2 is None).
+    """
+    dtype = x1.dtype
+    alpha_eff, _, _ = local_envelope(theta, n_px_side, dtype, alpha_threshold)
+    S = smooth_factor(theta, n_px_side, dtype)
+    amp = theta["Amp"].astype(dtype)
+
+    u1 = x1 * alpha_eff
+    s1 = smooth_apply(S, u1, n_px_side)
+    q11 = amp * jnp.sum(u1 * s1, axis=1)
+
+    if x2 is None:
+        return q11, None, None
+
+    u2 = x2 * alpha_eff
+    s2 = smooth_apply(S, u2, n_px_side)
+    q22 = amp * jnp.sum(u2 * s2, axis=1)
+    q12 = None
+    if with_cross:
+        q12 = amp * jnp.matmul(u1, s2.T, precision=MATMUL_PRECISION)
+    return q11, q22, q12
+
+
+# ---------------------------------------------------------------------------
+# Arc-cosine kernel, order 1 (reference: utils.py:939-1050)
+# ---------------------------------------------------------------------------
+
+@jax.custom_jvp
+def acos_J(c: jnp.ndarray) -> jnp.ndarray:
+    """Order-1 arc-cosine angular factor
+    ``J(c) = (sqrt(1 - c^2) + (pi - acos(c)) c) / pi``
+    with the analytically-exact derivative ``dJ/dc = (pi - acos(c)) / pi``
+    registered to avoid the inf - inf autodiff NaN at |c| = 1."""
+    s = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+    delta = jnp.arccos(c)
+    return (s + (jnp.pi - delta) * c) / jnp.pi
+
+
+@acos_J.defjvp
+def _acos_J_jvp(primals, tangents):
+    (c,), (dc,) = primals, tangents
+    return acos_J(c), (jnp.pi - jnp.arccos(c)) / jnp.pi * dc
+
+
+def _acos_from_quads(theta, q11, q22, q12, symmetrize: bool):
+    sigma0 = theta["sigma_0"].astype(q11.dtype)
+    s02 = sigma0 * sigma0
+    X1 = jnp.sqrt(q11 + s02)
+    X2 = jnp.sqrt(q22 + s02)
+    X1X2 = X1[:, None] * X2[None, :]
+    x1x2 = q12 + s02
+    cosdelta = jnp.clip(x1x2 / (X1X2 + COSDELTA_JITTER), -1.0, 1.0)
+    K = X1X2 * acos_J(cosdelta)
+    if symmetrize:
+        K = 0.5 * (K + K.T)
+    return K
+
+
+def acosker(theta: Theta, x1: jnp.ndarray, x2: Optional[jnp.ndarray] = None,
+            n_px_side: int = 108, diag: bool = False,
+            alpha_threshold: float = ALPHA_THRESHOLD) -> jnp.ndarray:
+    """Arc-cosine (order-1) covariance through the localized + smooth prior.
+
+    ``diag=True`` returns the nt-vector ``diag(K(x1, x1)) = diag(x1^T C x1) +
+    sigma_0^2`` (reference: utils.py:1027-1030); otherwise the full
+    (n1, n2) Gram, symmetrized when x1 is x2
+    (reference: utils.py:1024-1025).
+    """
+    if diag:
+        q11, _, _ = quad_forms(theta, x1, None, n_px_side, alpha_threshold)
+        s0 = theta["sigma_0"].astype(q11.dtype)
+        return q11 + s0 * s0
+    same = x2 is None or x2 is x1
+    x2c = x1 if x2 is None else x2
+    q11, q22, q12 = quad_forms(theta, x1, x2c, n_px_side, alpha_threshold)
+    if x2 is None:
+        q22 = q11
+    return _acos_from_quads(theta, q11, q22, q12, symmetrize=same)
+
+
+def gram_matrices(theta: Theta, x: jnp.ndarray, xtilde: jnp.ndarray,
+                  n_px_side: int, shared: bool,
+                  alpha_threshold: float = ALPHA_THRESHOLD):
+    """K_tilde (ntilde, ntilde), K (nt, ntilde), Kvec (nt,) in one pass,
+    sharing the smoothed images (the reference computes them with three
+    separate acosker calls, utils.py:1675-1680 / 2031-2033).
+
+    ``shared=True`` means xtilde is x (inducing points == training points), in
+    which case K = K_tilde and all quantities come from a single smoothing
+    pass.
+    """
+    dtype = x.dtype
+    alpha_eff, _, _ = local_envelope(theta, n_px_side, dtype, alpha_threshold)
+    S = smooth_factor(theta, n_px_side, dtype)
+    amp = theta["Amp"].astype(dtype)
+
+    ut = xtilde * alpha_eff
+    st = smooth_apply(S, ut, n_px_side)
+    qtt_diag = amp * jnp.sum(ut * st, axis=1)
+    qtt = amp * jnp.matmul(ut, st.T, precision=MATMUL_PRECISION)
+    K_tilde = _acos_from_quads(theta, qtt_diag, qtt_diag, qtt, symmetrize=True)
+
+    if shared:
+        sigma0 = theta["sigma_0"].astype(dtype)
+        Kvec = qtt_diag + sigma0 * sigma0
+        return K_tilde, K_tilde, Kvec
+
+    u = x * alpha_eff
+    s = smooth_apply(S, u, n_px_side)
+    q_diag = amp * jnp.sum(u * s, axis=1)
+    q = amp * jnp.matmul(u, st.T, precision=MATMUL_PRECISION)
+    K = _acos_from_quads(theta, q_diag, qtt_diag, q, symmetrize=False)
+    sigma0 = theta["sigma_0"].astype(dtype)
+    Kvec = q_diag + sigma0 * sigma0
+    return K_tilde, K, Kvec

@@ -1,0 +1,147 @@
+"""Static-shape eigenspace stabilization (the reference's "_b projection").
+
+The reference stabilizes every solve involving K_tilde by projecting onto the
+span of its large eigenvalues: ``eigh(K_tilde)``, keep eigvals >
+``max(lam_max * EIGVAL_TOL, EIGVAL_TOL)``, and slice the eigenvector matrix to
+``B = eigvecs[:, ikeep]`` (reference: Spatial_GP_repo/utils.py:1682-1694,
+1808-1841; rationale in docs.md:1-37).  The slice has a *data-dependent
+width* — poison for XLA.
+
+Here the projection keeps its full (ntilde, ntilde) shape and encodes the rank
+truncation as a boolean ``keep`` vector: dropped eigendirections have their B
+column zeroed, so every downstream product carries exact zeros in the dropped
+coordinates and the algebra is bit-identical to the variable-width version.
+Determinants / inverses over the kept subspace use the +diag(1-keep) identity
+padding trick.  Everything is jit-compatible with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import EIGVAL_TOL, MATMUL_PRECISION
+
+
+class Eigenspace(NamedTuple):
+    """Stabilizing eigenspace of K_tilde.
+
+    B:               (ntilde, ntilde) eigenvectors; dropped columns zeroed.
+    eigvals:         (ntilde,) raw eigenvalues (ascending).
+    keep:            (ntilde,) bool; True where the eigenvalue is retained.
+    k_tilde_b_diag:  (ntilde,) kept eigenvalues, 0 where dropped
+                     (the reference's diagonal K_tilde_b).
+    k_tilde_inv_diag:(ntilde,) 1/eigval where kept, 0 where dropped.
+    """
+    B: jnp.ndarray
+    eigvals: jnp.ndarray
+    keep: jnp.ndarray
+    k_tilde_b_diag: jnp.ndarray
+    k_tilde_inv_diag: jnp.ndarray
+
+    @property
+    def n_eigen(self) -> jnp.ndarray:
+        return jnp.sum(self.keep)
+
+
+def compute_eigenspace(K_tilde: jnp.ndarray,
+                       eigval_tol: float = EIGVAL_TOL) -> Eigenspace:
+    """eigh + static-rank truncation (reference: utils.py:1682-1694)."""
+    eigvals, eigvecs = jnp.linalg.eigh(K_tilde)
+    thresh = jnp.maximum(eigvals[-1] * eigval_tol, eigval_tol)
+    keep = eigvals > thresh
+    keepf = keep.astype(K_tilde.dtype)
+    B = eigvecs * keepf[None, :]
+    safe = jnp.where(keep, eigvals, jnp.ones_like(eigvals))
+    return Eigenspace(
+        B=B,
+        eigvals=eigvals,
+        keep=keep,
+        k_tilde_b_diag=eigvals * keepf,
+        k_tilde_inv_diag=keepf / safe,
+    )
+
+
+def project_gram(es: Eigenspace, K: jnp.ndarray, shared: bool) -> jnp.ndarray:
+    """KKtilde_inv_b = K B diag(1/eig) — the 'a' matrix of the reference
+    (utils.py:1693-1694).  When inducing points == training points this
+    collapses to B itself."""
+    if shared:
+        return es.B
+    K_b = jnp.matmul(K, es.B, precision=MATMUL_PRECISION)
+    return K_b * es.k_tilde_inv_diag[None, :]
+
+
+def reproject(es_new: Eigenspace, es_old: Eigenspace,
+              m_b: jnp.ndarray, V_b: jnp.ndarray):
+    """Carry the variational state across a change of eigenspace:
+    ``V_b' = B_new^T (B_old V_b B_old^T) B_new``, ``m_b' = B_new^T B_old m_b``
+    (reference: utils.py:1833-1841)."""
+    R = jnp.matmul(es_new.B.T, es_old.B, precision=MATMUL_PRECISION)
+    V_new = jnp.matmul(jnp.matmul(R, V_b, precision=MATMUL_PRECISION), R.T,
+                       precision=MATMUL_PRECISION)
+    m_new = jnp.matmul(R, m_b, precision=MATMUL_PRECISION)
+    return m_new, V_new
+
+
+def masked_logdet_chol(M: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
+    """log|M| restricted to the kept subspace, via Cholesky of
+    ``M + diag(1 - keep)`` (dropped rows/cols of M are exact zeros, so the
+    padded matrix is block-diagonal [M_kept, I] and the identity block
+    contributes log 1 = 0).  Returns NaN if the kept block is not posdef —
+    the caller's rollback logic treats NaN as the reference treats a raised
+    Cholesky error (utils.py:1271-1304)."""
+    keepf = keep.astype(M.dtype)
+    padded = M + jnp.diag(1.0 - keepf)
+    L = jnp.linalg.cholesky(padded)
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+
+
+def masked_logdet_eigh(M: jnp.ndarray, keep: jnp.ndarray,
+                       eigval_tol: float = EIGVAL_TOL) -> jnp.ndarray:
+    """Fallback log-determinant: eigh and keep eigenvalues above the same
+    relative threshold (reference's except-branch, utils.py:1282-1301)."""
+    keepf = keep.astype(M.dtype)
+    padded = M + jnp.diag(1.0 - keepf)
+    eigvals = jnp.linalg.eigvalsh(padded)
+    thresh = jnp.maximum(eigvals[-1] * eigval_tol, eigval_tol)
+    big = eigvals > thresh
+    safe = jnp.where(big, eigvals, jnp.ones_like(eigvals))
+    return jnp.sum(jnp.log(safe))
+
+
+def logdet_with_fallback(M: jnp.ndarray, keep: jnp.ndarray,
+                         eigval_tol: float = EIGVAL_TOL) -> jnp.ndarray:
+    """Cholesky log-determinant with eigendecomposition fallback when the
+    factorization fails (reference: utils.py:1271-1304).  Inside jit the
+    'failure' signal is a NaN from the Cholesky; lax.cond switches to the
+    eigh route."""
+    ld = masked_logdet_chol(M, keep)
+    return lax.cond(jnp.isfinite(ld),
+                    lambda: ld,
+                    lambda: masked_logdet_eigh(M, keep, eigval_tol))
+
+
+def masked_inverse(M: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of the kept block of M, zero-padded on dropped rows/cols
+    (the reference solves the dense n_eigen system, utils.py:2067)."""
+    keepf = keep.astype(M.dtype)
+    padded = M + jnp.diag(1.0 - keepf)
+    inv = jnp.linalg.inv(padded)
+    return inv * keepf[:, None] * keepf[None, :]
+
+
+def block_matrix_inverse(orig_inv: jnp.ndarray, new_column: jnp.ndarray) -> jnp.ndarray:
+    """Sherman-Morrison block update for the inverse of an (N+1, N+1) matrix
+    [[K, b], [b^T, d]] given inv(K) and new_column = [b; d]
+    (reference: utils.py:1055-1070, present but unused there; the active loop
+    uses it here for rank-1 growth)."""
+    b = new_column[:-1]
+    d = new_column[-1]
+    e = orig_inv @ b
+    g = 1.0 / (d - b @ e)
+    top = jnp.concatenate([orig_inv + g * jnp.outer(e, e), (-g * e)[:, None]], axis=1)
+    bottom = jnp.concatenate([-g * e, g[None]], axis=0)[None, :]
+    return jnp.concatenate([top, bottom], axis=0)

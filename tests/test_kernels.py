@@ -1,0 +1,147 @@
+"""Kernel construction: Kronecker-factored path vs dense brute force, and
+parity of the static-zeroed mask with the reference's dynamic crop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_processes_tpu.ops import kernels
+from gaussian_processes_tpu.ops.analytic_grads import localker_with_grads
+from gaussian_processes_tpu import params as P
+
+N = 12  # small pixel grid: nx = 144
+
+
+def make_theta(beta=0.35, rho=0.18, eps=(0.1, -0.2), sigma_0=1.0, amp=1.3):
+    return {
+        "sigma_0": jnp.float64(sigma_0),
+        "eps_0x": jnp.float64(eps[0]),
+        "eps_0y": jnp.float64(eps[1]),
+        "-2log2beta": jnp.float64(-2 * np.log(2 * beta)),
+        "-log2rho2": jnp.float64(-np.log(2 * rho * rho)),
+        "Amp": jnp.float64(amp),
+    }
+
+
+def brute_force_C(theta, n):
+    """Direct transcription of the mathematical definition over the masked
+    pixel set: C = Amp * alpha alpha^T . exp(-g_rho d^2), alpha >= 1e-3."""
+    lin = np.linspace(-1, 1, n)
+    yc = np.repeat(lin, n)
+    xc = np.tile(lin, n)
+    gb = np.exp(float(theta["-2log2beta"]))
+    gr = np.exp(float(theta["-log2rho2"]))
+    alpha = np.exp(-gb * ((xc - float(theta["eps_0x"])) ** 2 +
+                          (yc - float(theta["eps_0y"])) ** 2))
+    mask = alpha >= 1e-3
+    a = np.where(mask, alpha, 0.0)
+    d2 = (xc[:, None] - xc[None, :]) ** 2 + (yc[:, None] - yc[None, :]) ** 2
+    Cs = np.exp(-gr * d2)
+    return float(theta["Amp"]) * a[:, None] * Cs * a[None, :], mask
+
+
+def test_materialize_C_matches_brute_force():
+    theta = make_theta()
+    C, mask = kernels.materialize_C(theta, N)
+    C_ref, mask_ref = brute_force_C(theta, N)
+    np.testing.assert_array_equal(np.asarray(mask), mask_ref)
+    np.testing.assert_allclose(np.asarray(C), C_ref, rtol=1e-12, atol=1e-14)
+
+
+def test_localker_with_grads_C_matches():
+    theta = make_theta()
+    C1, mask1 = kernels.materialize_C(theta, N)
+    C2, mask2, _ = localker_with_grads(theta, N)
+    np.testing.assert_array_equal(np.asarray(mask1), np.asarray(mask2))
+    np.testing.assert_allclose(np.asarray(C1), np.asarray(C2),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_quad_forms_match_dense(rng):
+    theta = make_theta()
+    x1 = jnp.asarray(rng.standard_normal((7, N * N)))
+    x2 = jnp.asarray(rng.standard_normal((5, N * N)))
+    C, _ = kernels.materialize_C(theta, N)
+    q11, q22, q12 = kernels.quad_forms(theta, x1, x2, N)
+    np.testing.assert_allclose(np.asarray(q11),
+                               np.einsum("ip,pq,iq->i", x1, C, x1),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(q22),
+                               np.einsum("ip,pq,iq->i", x2, C, x2),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(q12), np.asarray(x1 @ C @ x2.T),
+                               rtol=1e-10)
+
+
+def test_acosker_matches_dense_definition(rng):
+    theta = make_theta()
+    x1 = jnp.asarray(rng.standard_normal((6, N * N)))
+    x2 = jnp.asarray(rng.standard_normal((4, N * N)))
+    C, _ = kernels.materialize_C(theta, N)
+
+    # dense arc-cosine from the definition
+    s02 = float(theta["sigma_0"]) ** 2
+    X1 = np.sqrt(np.einsum("ip,pq,iq->i", x1, C, x1) + s02)
+    X2 = np.sqrt(np.einsum("ip,pq,iq->i", x2, C, x2) + s02)
+    X1X2 = np.outer(X1, X2)
+    x1x2 = np.asarray(x1 @ C @ x2.T) + s02
+    cosd = np.clip(x1x2 / (X1X2 + 1e-7), -1, 1)
+    delta = np.arccos(cosd)
+    J = (np.sqrt(1 - cosd ** 2) + np.pi * cosd - delta * cosd) / np.pi
+    K_ref = X1X2 * J
+
+    K = kernels.acosker(theta, x1, x2, n_px_side=N)
+    np.testing.assert_allclose(np.asarray(K), K_ref, rtol=1e-10)
+
+
+def test_acosker_diag(rng):
+    theta = make_theta()
+    x = jnp.asarray(rng.standard_normal((9, N * N)))
+    C, _ = kernels.materialize_C(theta, N)
+    Kvec = kernels.acosker(theta, x, diag=True, n_px_side=N)
+    ref = np.einsum("ip,pq,iq->i", x, C, x) + float(theta["sigma_0"]) ** 2
+    np.testing.assert_allclose(np.asarray(Kvec), ref, rtol=1e-10)
+
+
+def test_gram_matrices_consistency(rng):
+    theta = make_theta()
+    x = jnp.asarray(rng.standard_normal((8, N * N)))
+    xt = jnp.asarray(rng.standard_normal((5, N * N)))
+    K_tilde, K, Kvec = kernels.gram_matrices(theta, x, xt, N, shared=False)
+    np.testing.assert_allclose(np.asarray(K_tilde),
+                               np.asarray(kernels.acosker(theta, xt, n_px_side=N)),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(K),
+                               np.asarray(kernels.acosker(theta, x, xt, n_px_side=N)),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(Kvec),
+                               np.asarray(kernels.acosker(theta, x, diag=True, n_px_side=N)),
+                               rtol=1e-12)
+    # shared path
+    K_tilde_s, K_s, Kvec_s = kernels.gram_matrices(theta, x, x, N, shared=True)
+    assert K_s is K_tilde_s
+    np.testing.assert_allclose(np.asarray(K_tilde_s),
+                               np.asarray(kernels.acosker(theta, x, n_px_side=N)),
+                               rtol=1e-12)
+
+
+def test_acos_J_grad_no_nan_at_edges():
+    c = jnp.asarray([-1.0, -0.999999, 0.0, 0.999999, 1.0])
+    J = kernels.acos_J(c)
+    assert np.all(np.isfinite(np.asarray(J)))
+    dJ = jax.vmap(jax.grad(kernels.acos_J))(c)
+    assert np.all(np.isfinite(np.asarray(dJ)))
+    np.testing.assert_allclose(np.asarray(dJ),
+                               (np.pi - np.arccos(np.asarray(c))) / np.pi,
+                               rtol=1e-12)
+
+
+def test_kernel_symmetric_psd(rng):
+    theta = make_theta()
+    x = jnp.asarray(rng.standard_normal((10, N * N)))
+    K = kernels.acosker(theta, x, n_px_side=N)
+    Kn = np.asarray(K)
+    np.testing.assert_allclose(Kn, Kn.T, atol=1e-12)
+    eig = np.linalg.eigvalsh(Kn)
+    assert eig.min() > -1e-8
