@@ -1,0 +1,445 @@
+"""The EM trainer: sparse variational GP fit with Poisson observations.
+
+This is the TPU-native re-architecture of the reference's ``varGP``
+(Spatial_GP_repo/utils.py:1569-2316).  Same algorithm — alternating
+closed-form Newton E-steps on the variational Gaussian (m, V), L-BFGS updates
+of the firing-rate gain logA with closed-form optimal lambda0, and L-BFGS
+M-steps on the six kernel hyperparameters — but expressed as ONE jit-compiled
+program:
+
+* static shapes everywhere (Kronecker-factored kernels, keep-mask eigenspace
+  stabilization), so the whole ``maxiter`` EM loop is a ``lax.fori_loop``;
+* hyperparameter gradients via ``jax.grad`` through the kernel rebuild (the
+  reference hand-codes them; those formulas are the test-suite oracle);
+* failure recovery matching the reference's rollback semantics
+  (utils.py:2127-2189): a non-finite iteration reverts to the last good state
+  and freezes, recorded in ``failed_at`` — but detected with ``lax.cond``
+  instead of host-side exceptions;
+* per-iteration tracking (loss decomposition, theta, f-params, variational
+  state, kept-rank) stored in preallocated device arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import FitConfig, MATMUL_PRECISION
+from ..ops.kernels import gram_matrices, local_envelope
+from ..ops.stabilize import (Eigenspace, compute_eigenspace, masked_inverse,
+                             project_gram, reproject)
+from ..optim.lbfgs import lbfgs_minimize
+from ..params import THETA_KEYS, clip_theta, theta_bounds, theta_in_bounds
+from .estep import estep_update
+from .moments import (kl_divergence, lambda0_given_logA, lambda_moments,
+                      mean_f_given_lambda_moments, poisson_ell)
+
+Theta = Dict[str, jnp.ndarray]
+FParams = Dict[str, jnp.ndarray]
+
+
+class KernelState(NamedTuple):
+    """Kernels + stabilizing eigenspace for the current theta."""
+    K_tilde: jnp.ndarray   # (ntilde, ntilde)
+    K: jnp.ndarray         # (nt, ntilde) — alias of K_tilde when shared
+    Kvec: jnp.ndarray      # (nt,)
+    es: Eigenspace
+    K_b: jnp.ndarray       # (nt, ntilde) = K @ B
+    a: jnp.ndarray         # (nt, ntilde) = K_b K_tilde_b^-1 (or B when shared)
+
+
+class Track(NamedTuple):
+    """Per-iteration history (the reference's values_track,
+    utils.py:1713-1727)."""
+    logmarginal: jnp.ndarray
+    loglikelihood: jnp.ndarray
+    KL: jnp.ndarray
+    theta: Dict[str, jnp.ndarray]
+    logA: jnp.ndarray
+    lambda0: jnp.ndarray
+    n_eigen: jnp.ndarray
+    m_b: jnp.ndarray        # (maxiter, ntilde) or (maxiter, 0)
+    V_b: jnp.ndarray        # (maxiter, ntilde, ntilde) or (maxiter, 0, 0)
+
+
+class Carry(NamedTuple):
+    theta: Theta
+    f_params: FParams
+    m_b: jnp.ndarray
+    V_b: jnp.ndarray
+    kern: KernelState
+    lambda_m: jnp.ndarray
+    lambda_var: jnp.ndarray
+    track: Track
+    failed: jnp.ndarray      # bool scalar
+    failed_at: jnp.ndarray   # int scalar, -1 if clean
+
+
+@dataclasses.dataclass
+class FitResult:
+    """Everything the reference's ``fit_model`` dict returns
+    (utils.py:2271-2288), as a typed result."""
+    config: FitConfig
+    xtilde: jnp.ndarray
+    theta: Theta
+    theta_lower: Dict[str, float]
+    theta_upper: Dict[str, float]
+    f_params: FParams
+    m_b: jnp.ndarray
+    V_b: jnp.ndarray
+    B: jnp.ndarray
+    keep: jnp.ndarray
+    eigvals: jnp.ndarray
+    k_tilde_b_diag: jnp.ndarray
+    k_tilde_inv_diag: jnp.ndarray
+    K_tilde: jnp.ndarray
+    K: jnp.ndarray
+    Kvec: jnp.ndarray
+    K_b: jnp.ndarray
+    a: jnp.ndarray
+    track: Track
+    failed: bool
+    failed_at: int
+
+    @property
+    def mask(self) -> jnp.ndarray:
+        """Boolean pixel mask of the final theta (the reference stores it in
+        fit_model; here it is derived on demand)."""
+        _, _, mask = local_envelope(self.theta, self.config.n_px_side,
+                                    alpha_threshold=self.config.alpha_threshold)
+        return mask
+
+    @property
+    def eigenspace(self) -> Eigenspace:
+        return Eigenspace(self.B, self.eigvals, self.keep,
+                          self.k_tilde_b_diag, self.k_tilde_inv_diag)
+
+    def values_track(self) -> Dict[str, Any]:
+        """Reference-shaped values_track dict (utils.py:1713-1727)."""
+        t = self.track
+        return {
+            "loss_track": {"logmarginal": t.logmarginal,
+                           "loglikelihood": t.loglikelihood, "KL": t.KL},
+            "theta_track": dict(t.theta),
+            "f_par_track": {"logA": t.logA, "lambda0": t.lambda0},
+            "variation_par_track": {"m_b": t.m_b, "V_b": t.V_b},
+            "n_eigen_track": t.n_eigen,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def _build_kernel_state(theta: Theta, x, xtilde, shared: bool,
+                        cfg: FitConfig) -> KernelState:
+    K_tilde, K, Kvec = gram_matrices(theta, x, xtilde, cfg.n_px_side, shared,
+                                     cfg.alpha_threshold)
+    es = compute_eigenspace(K_tilde, cfg.eigval_tol)
+    K_b = jnp.matmul(K, es.B, precision=MATMUL_PRECISION)
+    a = es.B if shared else K_b * es.k_tilde_inv_diag[None, :]
+    return KernelState(K_tilde, K, Kvec, es, K_b, a)
+
+
+def _fparam_objective(logA, r, lambda_m, lambda_var):
+    """Profiled negative ELL: lambda0 at its closed-form optimum for the
+    trial logA (the reference interleaves the closed form with the L-BFGS
+    closure, utils.py:1892-1934; at convergence both are identical by the
+    envelope theorem)."""
+    lam0 = lambda0_given_logA(logA, r, lambda_m, lambda_var)
+    f_params = {"logA": logA, "lambda0": lam0}
+    f_mean = mean_f_given_lambda_moments(f_params, lambda_m, lambda_var)
+    return -poisson_ell(r, f_mean, lambda_m, f_params)
+
+
+def _estep_block(x, r, kern: KernelState, m_b, V_b, f_params, lambda_m,
+                 lambda_var, cfg: FitConfig):
+    """n_estep Newton updates on (m_b, V_b), each followed by an L-BFGS
+    update of logA with closed-form lambda0 (reference: utils.py:1859-1943)."""
+
+    def body(_, state):
+        m_b, V_b, f_params, lambda_m, lambda_var = state
+        f_mean = mean_f_given_lambda_moments(f_params, lambda_m, lambda_var)
+        m_b, V_b = estep_update(r, kern.a, m_b, f_mean,
+                                kern.es.k_tilde_b_diag, f_params)
+        lambda_m, lambda_var = lambda_moments(kern.a, kern.K_b, kern.Kvec,
+                                              m_b, V_b)
+        logA, _ = lbfgs_minimize(
+            partial(_fparam_objective, r=r, lambda_m=lambda_m,
+                    lambda_var=lambda_var),
+            f_params["logA"], cfg.n_fparamstep)
+        lam0 = lambda0_given_logA(logA, r, lambda_m, lambda_var)
+        f_params = {"logA": logA, "lambda0": lam0}
+        return m_b, V_b, f_params, lambda_m, lambda_var
+
+    state = (m_b, V_b, f_params, lambda_m, lambda_var)
+    return lax.fori_loop(0, cfg.n_estep, body, state)
+
+
+def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
+                     f_params, shared: bool, cfg: FitConfig,
+                     lower, upper):
+    """Negative log-marginal as a function of theta with the eigenspace B
+    FIXED (reference closure: utils.py:2017-2112).  Out-of-bounds trial
+    points return +inf (utils.py:2020-2028); the loss itself is evaluated on
+    clipped theta so its gradient stays finite."""
+    ok = theta_in_bounds(theta, lower, upper)
+    theta_c = clip_theta(theta, lower, upper)
+
+    K_tilde, K, Kvec = gram_matrices(theta_c, x, xtilde, cfg.n_px_side,
+                                     shared, cfg.alpha_threshold)
+    B = es.B
+    K_tilde_b = jnp.matmul(B.T, jnp.matmul(K_tilde, B,
+                                           precision=MATMUL_PRECISION),
+                           precision=MATMUL_PRECISION)
+    K_tilde_b = 0.5 * (K_tilde_b + K_tilde_b.T)
+    K_b = jnp.matmul(K, B, precision=MATMUL_PRECISION)
+    K_tilde_inv_b = masked_inverse(K_tilde_b, es.keep)
+    a = B if shared else jnp.matmul(K_b, K_tilde_inv_b,
+                                    precision=MATMUL_PRECISION)
+
+    lambda_m, lambda_var = lambda_moments(a, K_b, Kvec, m_b, V_b)
+    f_mean = mean_f_given_lambda_moments(f_params, lambda_m, lambda_var)
+    ell = poisson_ell(r, f_mean, lambda_m, f_params)
+    kl = kl_divergence(m_b, V_b, es, K_tilde_b=K_tilde_b,
+                       K_tilde_inv_b=K_tilde_inv_b)
+    loss = -(ell - kl)
+    return jnp.where(ok, loss, jnp.inf)
+
+
+def _track_update(track: Track, i, loss_tuple, theta, f_params, es, m_b, V_b,
+                  cfg: FitConfig) -> Track:
+    ell, kl = loss_tuple
+    new_theta = {k: track.theta[k].at[i].set(theta[k]) for k in THETA_KEYS}
+    t = track._replace(
+        logmarginal=track.logmarginal.at[i].set(ell - kl),
+        loglikelihood=track.loglikelihood.at[i].set(ell),
+        KL=track.KL.at[i].set(kl),
+        theta=new_theta,
+        logA=track.logA.at[i].set(f_params["logA"]),
+        lambda0=track.lambda0.at[i].set(f_params["lambda0"]),
+        n_eigen=track.n_eigen.at[i].set(
+            jnp.sum(es.keep).astype(jnp.int32)),
+    )
+    if cfg.track_variational:
+        t = t._replace(m_b=t.m_b.at[i].set(m_b), V_b=t.V_b.at[i].set(V_b))
+    return t
+
+
+# ---------------------------------------------------------------------------
+# The jitted fit program
+# ---------------------------------------------------------------------------
+
+def _fit_program(x, r, xtilde, theta0: Theta, f_params0: FParams,
+                 m0, V0, has_V: bool, shared: bool, cfg: FitConfig,
+                 bounds_static):
+    lower = dict(bounds_static[0])
+    upper = dict(bounds_static[1])
+    dtype = x.dtype
+    ntilde = xtilde.shape[0]
+    maxiter = cfg.maxiter
+
+    # ---- init (reference: utils.py:1667-1711) ----
+    kern = _build_kernel_state(theta0, x, xtilde, shared, cfg)
+    es = kern.es
+    m_b = jnp.matmul(es.B.T, m0, precision=MATMUL_PRECISION)
+    if has_V:
+        V_b = jnp.matmul(es.B.T, jnp.matmul(V0, es.B,
+                                            precision=MATMUL_PRECISION),
+                         precision=MATMUL_PRECISION)
+    else:
+        V_b = jnp.diag(es.k_tilde_b_diag)
+
+    lambda_m, lambda_var = lambda_moments(kern.a, kern.K_b, kern.Kvec,
+                                          m_b, V_b)
+    f_mean = mean_f_given_lambda_moments(f_params0, lambda_m, lambda_var)
+    ell0 = poisson_ell(r, f_mean, lambda_m, f_params0)
+    kl0 = kl_divergence(m_b, V_b, es)
+
+    nvar = ntilde if cfg.track_variational else 0
+    track = Track(
+        logmarginal=jnp.zeros(maxiter, dtype),
+        loglikelihood=jnp.zeros(maxiter, dtype),
+        KL=jnp.zeros(maxiter, dtype),
+        theta={k: jnp.zeros(maxiter, dtype) for k in THETA_KEYS},
+        logA=jnp.zeros(maxiter, dtype),
+        lambda0=jnp.zeros(maxiter, dtype),
+        n_eigen=jnp.zeros(maxiter, jnp.int32),
+        m_b=jnp.zeros((maxiter, nvar), dtype),
+        V_b=jnp.zeros((maxiter, nvar, nvar), dtype),
+    )
+    track = _track_update(track, 0, (ell0, kl0), theta0, f_params0, es,
+                          m_b, V_b, cfg)
+
+    carry = Carry(theta0, f_params0, m_b, V_b, kern, lambda_m, lambda_var,
+                  track, jnp.asarray(False), jnp.asarray(-1, jnp.int32))
+
+    # ---- one EM iteration (reference loop body: utils.py:1794-2125) ----
+    def do_iteration(i, c: Carry) -> Carry:
+        theta, f_params = c.theta, c.f_params
+        m_b, V_b, kern = c.m_b, c.V_b, c.kern
+
+        # Rebuild kernels + eigenspace after an M-step and reproject the
+        # variational state (utils.py:1801-1841).  Iteration 1 keeps the
+        # init kernels (theta unchanged since init).
+        if cfg.n_mstep > 0:
+            def rebuild(args):
+                theta, m_b, V_b, kern = args
+                new_kern = _build_kernel_state(theta, x, xtilde, shared, cfg)
+                m_b, V_b = reproject(new_kern.es, kern.es, m_b, V_b)
+                return m_b, V_b, new_kern
+            m_b, V_b, kern = lax.cond(
+                i > 1, rebuild, lambda args: (args[1], args[2], args[3]),
+                (theta, m_b, V_b, kern))
+
+        # Always refresh moments + closed-form lambda0 at iteration start
+        # (identical to the reference's first-E-step refresh at
+        # utils.py:1870-1874; a no-op refresh when nothing changed).
+        lambda_m, lambda_var = lambda_moments(kern.a, kern.K_b, kern.Kvec,
+                                              m_b, V_b)
+        lam0 = lambda0_given_logA(f_params["logA"], r, lambda_m, lambda_var)
+        f_params = {"logA": f_params["logA"], "lambda0": lam0}
+
+        if cfg.n_estep > 0:
+            m_b, V_b, f_params, lambda_m, lambda_var = _estep_block(
+                x, r, kern, m_b, V_b, f_params, lambda_m, lambda_var, cfg)
+
+        # Track loss decomposition (utils.py:1953-1991).
+        f_mean = mean_f_given_lambda_moments(f_params, lambda_m, lambda_var)
+        ell = poisson_ell(r, f_mean, lambda_m, f_params)
+        kl = kl_divergence(m_b, V_b, kern.es)
+        track = _track_update(c.track, i, (ell, kl), theta, f_params,
+                              kern.es, m_b, V_b, cfg)
+
+        # M-step on theta with the eigenspace fixed; skipped in the last
+        # iteration so the final state matches its eigenspace
+        # (utils.py:1999-2114).
+        if cfg.n_mstep > 0:
+            def mstep(theta):
+                obj = partial(_mstep_objective, x=x, xtilde=xtilde, r=r,
+                              es=kern.es, m_b=m_b, V_b=V_b,
+                              f_params=f_params, shared=shared, cfg=cfg,
+                              lower=lower, upper=upper)
+                new_theta, _ = lbfgs_minimize(obj, theta, cfg.n_mstep)
+                return new_theta
+            theta = lax.cond(i < maxiter - 1, mstep, lambda t: t, theta)
+
+        new = Carry(theta, f_params, m_b, V_b, kern, lambda_m, lambda_var,
+                    track, c.failed, c.failed_at)
+
+        # Rollback on numerical failure (reference except-handlers,
+        # utils.py:2127-2189): revert to the iteration-start state and
+        # freeze.
+        finite = (jnp.isfinite(ell - kl)
+                  & jnp.all(jnp.isfinite(m_b))
+                  & jnp.all(jnp.isfinite(V_b))
+                  & jnp.all(jnp.isfinite(
+                      jnp.stack([theta[k] for k in THETA_KEYS]))))
+        failed_now = ~finite
+        reverted = c._replace(failed=jnp.asarray(True),
+                              failed_at=jnp.asarray(i, jnp.int32))
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(failed_now, a, b), reverted, new)
+
+    def body(i, c: Carry) -> Carry:
+        return lax.cond(c.failed, lambda c: c, partial(do_iteration, i), c)
+
+    carry = lax.fori_loop(1, maxiter, body, carry)
+
+    # ---- final V_b symmetry / PSD repair (utils.py:2243-2248) ----
+    V_b = 0.5 * (carry.V_b + carry.V_b.T)
+    keepf = carry.kern.es.keep.astype(dtype)
+    min_eig = jnp.min(jnp.linalg.eigvalsh(V_b + jnp.diag(1.0 - keepf)))
+    V_b = jnp.where(min_eig <= 0,
+                    V_b + jnp.eye(ntilde, dtype=dtype) * cfg.eigval_tol
+                    * keepf[:, None] * keepf[None, :],
+                    V_b)
+    carry = carry._replace(V_b=V_b)
+    return carry
+
+
+_fit_program_jit = jax.jit(
+    _fit_program,
+    static_argnames=("has_V", "shared", "cfg", "bounds_static"))
+
+
+# ---------------------------------------------------------------------------
+# Public entry point
+# ---------------------------------------------------------------------------
+
+def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
+        xtilde: Optional[jnp.ndarray] = None,
+        theta: Optional[Theta] = None,
+        f_params: Optional[FParams] = None,
+        m: Optional[jnp.ndarray] = None,
+        V: Optional[jnp.ndarray] = None,
+        seed: int = 0) -> FitResult:
+    """Fit the spatial GP to (x, r).  The ``varGP`` equivalent.
+
+    x: (nt, nx) stimuli, r: (nt,) spike counts.  All optional arguments
+    mirror the reference's kwargs (xtilde / hyperparams / f_params / m / V
+    warm starts, utils.py:1651-1704).
+    """
+    from .. import params as P
+
+    cfg = cfg or FitConfig()
+    x = jnp.asarray(x)
+    r = jnp.asarray(r)
+    dtype = x.dtype
+    nt = x.shape[0]
+    ntilde = cfg.resolve_ntilde(nt)
+
+    if xtilde is None:
+        if ntilde == nt:
+            xtilde = x
+        else:
+            key = jax.random.PRNGKey(seed)
+            idx = jax.random.permutation(key, nt)[:ntilde]
+            xtilde = x[idx]
+    else:
+        xtilde = jnp.asarray(xtilde, dtype)
+    if ntilde != xtilde.shape[0]:
+        ntilde = xtilde.shape[0]
+        cfg = dataclasses.replace(cfg, ntilde=ntilde)
+    # inducing set identical to training set -> shared fast path
+    # (reference: K = K_tilde, KKtilde_inv_b = B, utils.py:1677-1694)
+    shared = xtilde is x or (
+        xtilde.shape == x.shape and bool(jnp.all(xtilde == x)))
+
+    if theta is None:
+        theta, lower, upper = P.generate_theta(x, r, cfg.n_px_side)
+    else:
+        theta = {k: jnp.asarray(v, dtype) for k, v in theta.items()}
+        lower, upper = P.theta_bounds()
+    if f_params is None:
+        f_params = P.default_f_params(dtype)
+    else:
+        f_params = {k: jnp.asarray(v, dtype) for k, v in f_params.items()}
+
+    has_V = V is not None
+    m0 = jnp.zeros(ntilde, dtype) if m is None else jnp.asarray(m, dtype)
+    V0 = jnp.zeros((ntilde, ntilde), dtype) if V is None else jnp.asarray(V, dtype)
+
+    bounds_static = (tuple(sorted(lower.items())),
+                     tuple(sorted(upper.items())))
+    carry = _fit_program_jit(x, r, xtilde, theta, f_params, m0, V0,
+                             has_V=has_V, shared=shared, cfg=cfg,
+                             bounds_static=bounds_static)
+    kern = carry.kern
+    es = kern.es
+    return FitResult(
+        config=cfg, xtilde=xtilde, theta=carry.theta,
+        theta_lower=lower, theta_upper=upper,
+        f_params=carry.f_params, m_b=carry.m_b, V_b=carry.V_b,
+        B=es.B, keep=es.keep, eigvals=es.eigvals,
+        k_tilde_b_diag=es.k_tilde_b_diag,
+        k_tilde_inv_diag=es.k_tilde_inv_diag,
+        K_tilde=kern.K_tilde, K=kern.K, Kvec=kern.Kvec, K_b=kern.K_b,
+        a=kern.a, track=carry.track,
+        failed=bool(carry.failed), failed_at=int(carry.failed_at),
+    )

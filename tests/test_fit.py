@@ -1,0 +1,150 @@
+"""End-to-end EM fit: behavior, failure rollback, and (when the reference
+checkout is present) head-to-head trajectory parity with varGP."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gaussian_processes_tpu.config import FitConfig
+from gaussian_processes_tpu.models.fit import fit
+
+REF_PATH = "/root/reference/Spatial_GP_repo"
+N = 16
+
+
+def synthetic_problem(nt=40, seed=1):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((nt, N * N))
+    lin = np.linspace(-1, 1, N)
+    yy, xx = np.meshgrid(lin, lin, indexing="ij")
+    w = np.exp(-((xx - 0.1) ** 2 + (yy + 0.2) ** 2) / (2 * 0.3 ** 2)).ravel()
+    lam = np.exp(0.5 * x @ w / np.linalg.norm(w))
+    r = rng.poisson(lam).astype(float)
+    return x, r
+
+
+THETA0 = {"sigma_0": 1.0, "eps_0x": 0.0, "eps_0y": 0.0,
+          "-2log2beta": -2 * np.log(2 * 0.3),
+          "-log2rho2": -np.log(2 * 0.15 ** 2), "Amp": 1.0}
+FP0 = {"logA": np.log(0.01), "lambda0": 1.0}
+
+
+def run_ours(x, r, maxiter=6, ne=5, nm=5, nf=5, **kw):
+    cfg = FitConfig(ntilde=x.shape[0], maxiter=maxiter, n_estep=ne,
+                    n_mstep=nm, n_fparamstep=nf, n_px_side=N)
+    jth = {k: jnp.float64(v) for k, v in THETA0.items()}
+    jfp = {k: jnp.float64(v) for k, v in FP0.items()}
+    return fit(jnp.asarray(x), jnp.asarray(r), cfg, xtilde=jnp.asarray(x),
+               theta=jth, f_params=jfp, **kw)
+
+
+def test_fit_loss_decreases_and_recovers_rf():
+    x, r = synthetic_problem()
+    res = run_ours(x, r)
+    assert not res.failed
+    loss = -np.asarray(res.track.logmarginal)
+    assert np.all(np.isfinite(loss))
+    # big initial drop, then monotone to within tiny tolerance
+    assert loss[1] < loss[0]
+    assert np.all(np.diff(loss[1:]) < 1e-6)
+    # planted RF center at (0.1, -0.2): with 40 noisy samples and 6 EM
+    # iterations the center estimate is coarse — just require it stays in a
+    # sane neighborhood and in bounds
+    eps = (float(res.theta["eps_0x"]), float(res.theta["eps_0y"]))
+    assert abs(eps[0] - 0.1) < 0.3
+    assert abs(eps[1] + 0.2) < 0.3
+
+
+def test_fit_estep_only():
+    """nMstep=0 path (the reference one_cell_fit cell2 config)."""
+    x, r = synthetic_problem()
+    res = run_ours(x, r, nm=0)
+    assert not res.failed
+    loss = -np.asarray(res.track.logmarginal)
+    assert np.all(np.diff(loss) < 1e-9)
+    # theta untouched without M-steps
+    for k, v in THETA0.items():
+        assert float(res.theta[k]) == pytest.approx(v)
+
+
+def test_fit_failure_rollback():
+    """A NaN in the data must trigger the rollback path: the fit freezes at
+    the failing iteration with the last good state preserved (the
+    reference's except-handler semantics, utils.py:2127-2189)."""
+    x, r = synthetic_problem()
+    r = r.copy()
+    r[3] = np.nan
+    res = run_ours(x, r, maxiter=4)
+    assert res.failed
+    assert res.failed_at == 1
+    for k in res.theta:
+        assert np.isfinite(float(res.theta[k]))
+
+
+def test_tracking_shapes():
+    x, r = synthetic_problem()
+    res = run_ours(x, r, maxiter=3)
+    vt = res.values_track()
+    assert vt["loss_track"]["logmarginal"].shape == (3,)
+    assert vt["theta_track"]["eps_0x"].shape == (3,)
+    assert vt["variation_par_track"]["V_b"].shape == (3, x.shape[0], x.shape[0])
+    assert vt["n_eigen_track"].shape == (3,)
+    assert int(vt["n_eigen_track"][0]) > 0
+
+
+def test_track_variational_off():
+    x, r = synthetic_problem()
+    cfg = FitConfig(ntilde=x.shape[0], maxiter=3, n_estep=2, n_mstep=2,
+                    n_fparamstep=3, n_px_side=N, track_variational=False)
+    res = fit(jnp.asarray(x), jnp.asarray(r), cfg, xtilde=jnp.asarray(x),
+              theta={k: jnp.float64(v) for k, v in THETA0.items()},
+              f_params={k: jnp.float64(v) for k, v in FP0.items()})
+    assert res.track.V_b.shape == (3, 0, 0)
+    assert not res.failed
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_PATH),
+                    reason="reference checkout not available")
+def test_vargp_trajectory_parity():
+    """Loss trajectory within 2% of the reference varGP on identical inputs,
+    identical (to fp) at iteration 0, and a final loss at least as good."""
+    import torch
+    sys.path.insert(0, REF_PATH)
+    try:
+        import utils as ref
+    finally:
+        sys.path.remove(REF_PATH)
+
+    x, r = synthetic_problem()
+    MAXITER, NE, NM, NF = 6, 5, 5, 5
+    tth = {k: torch.tensor(v, dtype=torch.float64).requires_grad_(True)
+           for k, v in THETA0.items()}
+    lower = {"sigma_0": 0., "eps_0x": -1., "eps_0y": -1.,
+             "-2log2beta": -np.inf, "-log2rho2": -np.inf, "Amp": 0.}
+    upper = {"sigma_0": np.inf, "eps_0x": 1., "eps_0y": 1.,
+             "-2log2beta": np.inf, "-log2rho2": np.inf, "Amp": np.inf}
+    f_params_t = {"logA": torch.log(torch.tensor(0.01)).requires_grad_(True),
+                  "lambda0": torch.tensor(1.0)}
+    args = dict(
+        fit_parameters={"ntilde": x.shape[0], "maxiter": MAXITER,
+                        "nEstep": NE, "nMstep": NM, "nFparamstep": NF,
+                        "kernfun": "acosker", "cellid": 0, "n_px_side": N,
+                        "display_hyper": False},
+        xtilde=torch.tensor(x),
+        hyperparams_tuple=(tth, lower, upper),
+        f_params=f_params_t,
+    )
+    fm, err = ref.varGP(torch.tensor(x), torch.tensor(r), **args)
+    assert not err["is_error"]
+    ref_loss = -fm["values_track"]["loss_track"]["logmarginal"].cpu().numpy()
+
+    res = run_ours(x, r, maxiter=MAXITER, ne=NE, nm=NM, nf=NF)
+    our_loss = -np.asarray(res.track.logmarginal)
+
+    np.testing.assert_allclose(our_loss[0], ref_loss[0], rtol=1e-8)
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=0.02)
+    assert our_loss[-1] <= ref_loss[-1] * 1.01
