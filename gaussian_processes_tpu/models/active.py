@@ -1,0 +1,171 @@
+"""Closed-loop active learning: fit -> score -> select -> grow -> refit.
+
+TPU-native re-architecture of the reference's active-training loop
+(one_cell_active_training.ipynb:cell17): instead of growing every tensor by
+one row per acquisition (new shapes every round, fresh CUDA kernels, a fresh
+eigendecomposition of a bigger matrix), the loop runs at **fixed capacity**
+with pad-and-mask buffers.  Every round reuses the same compiled fit program,
+the same compiled batched acquisition scorer, and the same compiled
+evaluation — zero recompiles across hundreds of acquisitions.
+
+The warm-start semantics follow the reference exactly: the variational state
+is carried through the original (unprojected) coordinates, the newly added
+point gets a unit prior variance row/col and the mean of the current
+variational mean (cell17 "Update variational parameters"), and theta /
+f_params continue from the previous fit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import FitConfig, MATMUL_PRECISION
+from .acquisition import score_candidates
+from .fit import FitResult, fit
+from .inference import evaluate, predict_rates
+from .moments import lambda_moments, mean_f_given_lambda_moments, poisson_ell
+
+
+@dataclasses.dataclass
+class ActiveLoopResult:
+    selected_idx: List[int]          # pool index chosen at each round
+    utilities: List[float]           # utility of the chosen candidate
+    r2_history: List[float]          # test r2 after each refit (if test set)
+    r2_sigma_history: List[float]
+    test_ll_history: List[float]     # held-out log-likelihood per round
+    final_fit: FitResult
+    in_use_idx: np.ndarray           # all pool indices in the final model
+
+
+def _test_loglikelihood(res: FitResult, X_ll, R_ll) -> float:
+    """Held-out expected log-likelihood (the reference's fixed-1000-image
+    track, one_cell_active_training.ipynb:cell17)."""
+    from ..ops.kernels import gram_matrices
+    _, K_t, Kvec_t = gram_matrices(res.theta, X_ll, res.xtilde,
+                                   res.config.n_px_side, shared=False,
+                                   alpha_threshold=res.config.alpha_threshold)
+    K_t_b = jnp.matmul(K_t, res.B, precision=MATMUL_PRECISION)
+    a_t = K_t_b * res.k_tilde_inv_diag[None, :]
+    lam_m, lam_var = lambda_moments(a_t, K_t_b, Kvec_t, res.m_b, res.V_b)
+    f_mean = mean_f_given_lambda_moments(res.f_params, lam_m, lam_var)
+    return float(poisson_ell(jnp.asarray(R_ll), f_mean, lam_m, res.f_params))
+
+
+def active_loop(X_pool, R_pool, start_idx, n_add: int,
+                cfg: Optional[FitConfig] = None,
+                theta: Optional[Dict] = None,
+                f_params: Optional[Dict] = None,
+                select: str = "utility",
+                X_test=None, R_test=None,
+                X_test_ll=None, R_test_ll=None,
+                exclude_idx=None,
+                r_cutoff: int = 100,
+                nbootstrap: int = 200,
+                seed: int = 0,
+                verbose: bool = False) -> ActiveLoopResult:
+    """Run ``n_add`` acquisition rounds starting from ``start_idx``.
+
+    X_pool: (npool, nx) candidate stimuli; R_pool: (npool,) responses (the
+    simulated experiment's answers); ``select`` is "utility" (information
+    maximization) or "random" (the reference's A/B control,
+    one_cell_active_training.ipynb:cell19/23).  ``exclude_idx`` marks pool
+    rows never to acquire (e.g. a held-out test set).
+    """
+    X_pool = jnp.asarray(X_pool)
+    R_pool = np.asarray(R_pool)
+    npool = X_pool.shape[0]
+    start_idx = np.asarray(start_idx)
+    n_start = len(start_idx)
+    capacity = n_start + n_add
+    cfg = cfg or FitConfig()
+    cfg = dataclasses.replace(cfg, ntilde=capacity)
+    rng = np.random.default_rng(seed)
+
+    dtype = X_pool.dtype
+    x_buf = np.zeros((capacity, X_pool.shape[1]), dtype)
+    r_buf = np.zeros(capacity, dtype)
+    x_buf[:n_start] = np.asarray(X_pool)[start_idx]
+    r_buf[:n_start] = R_pool[start_idx]
+
+    used = np.zeros(npool, bool)
+    used[start_idx] = True
+    if exclude_idx is not None:
+        used[np.asarray(exclude_idx)] = True
+
+    n = n_start
+    m_warm = None
+    V_warm = None
+    selected, utilities = [], []
+    r2_hist, r2_sig_hist, ll_hist = [], [], []
+
+    res = None
+    for round_i in range(n_add + 1):
+        mask = (np.arange(capacity) < n).astype(np.float64)
+        res = fit(jnp.asarray(x_buf), jnp.asarray(r_buf), cfg,
+                  xtilde=jnp.asarray(x_buf), theta=theta, f_params=f_params,
+                  m=m_warm, V=V_warm,
+                  sample_weight=jnp.asarray(mask, dtype))
+        theta = res.theta
+        f_params = res.f_params
+
+        if X_test is not None and R_test is not None:
+            _, _, r2, s = evaluate(res, X_test, R_test, nbootstrap=nbootstrap)
+            r2_hist.append(float(r2)); r2_sig_hist.append(float(s))
+        if X_test_ll is not None and R_test_ll is not None:
+            ll_hist.append(_test_loglikelihood(res, jnp.asarray(X_test_ll),
+                                               R_test_ll))
+        if verbose:
+            msg = f"round {round_i}: n={n}"
+            if r2_hist:
+                msg += f" r2={r2_hist[-1]:.3f}"
+            print(msg)
+
+        if round_i == n_add:
+            break
+
+        # ---- score remaining candidates and select ----
+        if select == "utility":
+            u, _ = score_candidates(
+                X_pool, res.xtilde, res.theta, res.f_params, res.m_b,
+                res.V_b, res.B, res.k_tilde_inv_diag,
+                n_px_side=cfg.n_px_side,
+                alpha_threshold=cfg.alpha_threshold, r_cutoff=r_cutoff)
+            u = np.array(u)
+            u[used] = -np.inf
+            best = int(np.argmax(u))
+            utilities.append(float(u[best]))
+        elif select == "random":
+            remaining = np.flatnonzero(~used)
+            best = int(rng.choice(remaining))
+            utilities.append(float("nan"))
+        else:
+            raise ValueError(f"unknown selection strategy {select!r}")
+        selected.append(best)
+        used[best] = True
+
+        # ---- grow the buffers (cell17 "Update indices and Kernels") ----
+        x_buf[n] = np.asarray(X_pool)[best]
+        r_buf[n] = R_pool[best]
+
+        # warm-start the variational state in original coordinates: new
+        # point gets unit prior variance and the mean of the current m
+        B = np.asarray(res.B)
+        m_orig = B @ np.asarray(res.m_b)
+        V_orig = B @ np.asarray(res.V_b) @ B.T
+        V_orig[n, n] = 1.0
+        m_orig[n] = m_orig[:n].mean()
+        m_warm = jnp.asarray(m_orig)
+        V_warm = jnp.asarray(0.5 * (V_orig + V_orig.T))
+        n += 1
+
+    return ActiveLoopResult(
+        selected_idx=selected, utilities=utilities, r2_history=r2_hist,
+        r2_sigma_history=r2_sig_hist, test_ll_history=ll_hist,
+        final_fit=res, in_use_idx=np.concatenate([start_idx,
+                                                  np.asarray(selected,
+                                                             int)]),
+    )

@@ -23,12 +23,19 @@ from ..config import MATMUL_PRECISION
 
 def estep_update(r: jnp.ndarray, a: jnp.ndarray, m_b: jnp.ndarray,
                  f_mean: jnp.ndarray, k_tilde_b_diag: jnp.ndarray,
-                 f_params: Dict[str, jnp.ndarray]
+                 f_params: Dict[str, jnp.ndarray],
+                 weight: jnp.ndarray = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One Newton update of (m_b, V_b).  ``a`` is KKtilde_inv_b."""
+    """One Newton update of (m_b, V_b).  ``a`` is KKtilde_inv_b.
+    ``weight`` masks padded training points out of the Newton sums."""
     A = jnp.exp(f_params["logA"])
-    g = A * jnp.matmul(a.T, r - f_mean, precision=MATMUL_PRECISION)
-    G = A * A * jnp.matmul(a.T, a * f_mean[:, None],
+    resid = r - f_mean
+    fw = f_mean
+    if weight is not None:
+        resid = resid * weight
+        fw = fw * weight
+    g = A * jnp.matmul(a.T, resid, precision=MATMUL_PRECISION)
+    G = A * A * jnp.matmul(a.T, a * fw[:, None],
                            precision=MATMUL_PRECISION)
     ntilde = k_tilde_b_diag.shape[0]
     lhs = jnp.eye(ntilde, dtype=a.dtype) + k_tilde_b_diag[:, None] * G

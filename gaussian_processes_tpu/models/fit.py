@@ -136,29 +136,50 @@ class FitResult:
 # Building blocks
 # ---------------------------------------------------------------------------
 
-def _build_kernel_state(theta: Theta, x, xtilde, shared: bool,
-                        cfg: FitConfig) -> KernelState:
+def _masked_grams(theta, x, xtilde, shared, cfg, wt=None, wi=None):
+    """Gram matrices with optional pad-and-mask weights: inactive inducing
+    rows/cols of K_tilde and inactive training rows of K / Kvec are zeroed,
+    which confines the whole downstream algebra (eigh keep-mask, E-step,
+    moments) to the active subproblem without any shape change."""
     K_tilde, K, Kvec = gram_matrices(theta, x, xtilde, cfg.n_px_side, shared,
                                      cfg.alpha_threshold)
+    if wi is not None:
+        K_tilde = K_tilde * (wi[:, None] * wi[None, :])
+        if shared:
+            K = K_tilde
+        else:
+            K = K * wi[None, :]
+    if wt is not None:
+        if shared:
+            K = K_tilde
+        else:
+            K = K * wt[:, None]
+        Kvec = Kvec * wt
+    return K_tilde, K, Kvec
+
+
+def _build_kernel_state(theta: Theta, x, xtilde, shared: bool,
+                        cfg: FitConfig, wt=None, wi=None) -> KernelState:
+    K_tilde, K, Kvec = _masked_grams(theta, x, xtilde, shared, cfg, wt, wi)
     es = compute_eigenspace(K_tilde, cfg.eigval_tol)
     K_b = jnp.matmul(K, es.B, precision=MATMUL_PRECISION)
     a = es.B if shared else K_b * es.k_tilde_inv_diag[None, :]
     return KernelState(K_tilde, K, Kvec, es, K_b, a)
 
 
-def _fparam_objective(logA, r, lambda_m, lambda_var):
+def _fparam_objective(logA, r, lambda_m, lambda_var, wt=None):
     """Profiled negative ELL: lambda0 at its closed-form optimum for the
     trial logA (the reference interleaves the closed form with the L-BFGS
     closure, utils.py:1892-1934; at convergence both are identical by the
     envelope theorem)."""
-    lam0 = lambda0_given_logA(logA, r, lambda_m, lambda_var)
+    lam0 = lambda0_given_logA(logA, r, lambda_m, lambda_var, weight=wt)
     f_params = {"logA": logA, "lambda0": lam0}
     f_mean = mean_f_given_lambda_moments(f_params, lambda_m, lambda_var)
-    return -poisson_ell(r, f_mean, lambda_m, f_params)
+    return -poisson_ell(r, f_mean, lambda_m, f_params, weight=wt)
 
 
 def _estep_block(x, r, kern: KernelState, m_b, V_b, f_params, lambda_m,
-                 lambda_var, cfg: FitConfig):
+                 lambda_var, cfg: FitConfig, wt=None):
     """n_estep Newton updates on (m_b, V_b), each followed by an L-BFGS
     update of logA with closed-form lambda0 (reference: utils.py:1859-1943)."""
 
@@ -166,14 +187,14 @@ def _estep_block(x, r, kern: KernelState, m_b, V_b, f_params, lambda_m,
         m_b, V_b, f_params, lambda_m, lambda_var = state
         f_mean = mean_f_given_lambda_moments(f_params, lambda_m, lambda_var)
         m_b, V_b = estep_update(r, kern.a, m_b, f_mean,
-                                kern.es.k_tilde_b_diag, f_params)
+                                kern.es.k_tilde_b_diag, f_params, weight=wt)
         lambda_m, lambda_var = lambda_moments(kern.a, kern.K_b, kern.Kvec,
                                               m_b, V_b)
         logA, _ = lbfgs_minimize(
             partial(_fparam_objective, r=r, lambda_m=lambda_m,
-                    lambda_var=lambda_var),
+                    lambda_var=lambda_var, wt=wt),
             f_params["logA"], cfg.n_fparamstep)
-        lam0 = lambda0_given_logA(logA, r, lambda_m, lambda_var)
+        lam0 = lambda0_given_logA(logA, r, lambda_m, lambda_var, weight=wt)
         f_params = {"logA": logA, "lambda0": lam0}
         return m_b, V_b, f_params, lambda_m, lambda_var
 
@@ -183,7 +204,7 @@ def _estep_block(x, r, kern: KernelState, m_b, V_b, f_params, lambda_m,
 
 def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
                      f_params, shared: bool, cfg: FitConfig,
-                     lower, upper):
+                     lower, upper, wt=None, wi=None):
     """Negative log-marginal as a function of theta with the eigenspace B
     FIXED (reference closure: utils.py:2017-2112).  Out-of-bounds trial
     points return +inf (utils.py:2020-2028); the loss itself is evaluated on
@@ -191,8 +212,7 @@ def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
     ok = theta_in_bounds(theta, lower, upper)
     theta_c = clip_theta(theta, lower, upper)
 
-    K_tilde, K, Kvec = gram_matrices(theta_c, x, xtilde, cfg.n_px_side,
-                                     shared, cfg.alpha_threshold)
+    K_tilde, K, Kvec = _masked_grams(theta_c, x, xtilde, shared, cfg, wt, wi)
     B = es.B
     K_tilde_b = jnp.matmul(B.T, jnp.matmul(K_tilde, B,
                                            precision=MATMUL_PRECISION),
@@ -205,7 +225,7 @@ def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
 
     lambda_m, lambda_var = lambda_moments(a, K_b, Kvec, m_b, V_b)
     f_mean = mean_f_given_lambda_moments(f_params, lambda_m, lambda_var)
-    ell = poisson_ell(r, f_mean, lambda_m, f_params)
+    ell = poisson_ell(r, f_mean, lambda_m, f_params, weight=wt)
     kl = kl_divergence(m_b, V_b, es, K_tilde_b=K_tilde_b,
                        K_tilde_inv_b=K_tilde_inv_b)
     loss = -(ell - kl)
@@ -237,7 +257,7 @@ def _track_update(track: Track, i, loss_tuple, theta, f_params, es, m_b, V_b,
 
 def _fit_program(x, r, xtilde, theta0: Theta, f_params0: FParams,
                  m0, V0, has_V: bool, shared: bool, cfg: FitConfig,
-                 bounds_static):
+                 bounds_static, wt=None, wi=None):
     lower = dict(bounds_static[0])
     upper = dict(bounds_static[1])
     dtype = x.dtype
@@ -245,7 +265,7 @@ def _fit_program(x, r, xtilde, theta0: Theta, f_params0: FParams,
     maxiter = cfg.maxiter
 
     # ---- init (reference: utils.py:1667-1711) ----
-    kern = _build_kernel_state(theta0, x, xtilde, shared, cfg)
+    kern = _build_kernel_state(theta0, x, xtilde, shared, cfg, wt, wi)
     es = kern.es
     m_b = jnp.matmul(es.B.T, m0, precision=MATMUL_PRECISION)
     if has_V:
@@ -258,7 +278,7 @@ def _fit_program(x, r, xtilde, theta0: Theta, f_params0: FParams,
     lambda_m, lambda_var = lambda_moments(kern.a, kern.K_b, kern.Kvec,
                                           m_b, V_b)
     f_mean = mean_f_given_lambda_moments(f_params0, lambda_m, lambda_var)
-    ell0 = poisson_ell(r, f_mean, lambda_m, f_params0)
+    ell0 = poisson_ell(r, f_mean, lambda_m, f_params0, weight=wt)
     kl0 = kl_divergence(m_b, V_b, es)
 
     nvar = ntilde if cfg.track_variational else 0
@@ -290,7 +310,8 @@ def _fit_program(x, r, xtilde, theta0: Theta, f_params0: FParams,
         if cfg.n_mstep > 0:
             def rebuild(args):
                 theta, m_b, V_b, kern = args
-                new_kern = _build_kernel_state(theta, x, xtilde, shared, cfg)
+                new_kern = _build_kernel_state(theta, x, xtilde, shared, cfg,
+                                               wt, wi)
                 m_b, V_b = reproject(new_kern.es, kern.es, m_b, V_b)
                 return m_b, V_b, new_kern
             m_b, V_b, kern = lax.cond(
@@ -302,16 +323,18 @@ def _fit_program(x, r, xtilde, theta0: Theta, f_params0: FParams,
         # utils.py:1870-1874; a no-op refresh when nothing changed).
         lambda_m, lambda_var = lambda_moments(kern.a, kern.K_b, kern.Kvec,
                                               m_b, V_b)
-        lam0 = lambda0_given_logA(f_params["logA"], r, lambda_m, lambda_var)
+        lam0 = lambda0_given_logA(f_params["logA"], r, lambda_m, lambda_var,
+                                  weight=wt)
         f_params = {"logA": f_params["logA"], "lambda0": lam0}
 
         if cfg.n_estep > 0:
             m_b, V_b, f_params, lambda_m, lambda_var = _estep_block(
-                x, r, kern, m_b, V_b, f_params, lambda_m, lambda_var, cfg)
+                x, r, kern, m_b, V_b, f_params, lambda_m, lambda_var, cfg,
+                wt=wt)
 
         # Track loss decomposition (utils.py:1953-1991).
         f_mean = mean_f_given_lambda_moments(f_params, lambda_m, lambda_var)
-        ell = poisson_ell(r, f_mean, lambda_m, f_params)
+        ell = poisson_ell(r, f_mean, lambda_m, f_params, weight=wt)
         kl = kl_divergence(m_b, V_b, kern.es)
         track = _track_update(c.track, i, (ell, kl), theta, f_params,
                               kern.es, m_b, V_b, cfg)
@@ -324,7 +347,7 @@ def _fit_program(x, r, xtilde, theta0: Theta, f_params0: FParams,
                 obj = partial(_mstep_objective, x=x, xtilde=xtilde, r=r,
                               es=kern.es, m_b=m_b, V_b=V_b,
                               f_params=f_params, shared=shared, cfg=cfg,
-                              lower=lower, upper=upper)
+                              lower=lower, upper=upper, wt=wt, wi=wi)
                 new_theta, _ = lbfgs_minimize(obj, theta, cfg.n_mstep)
                 return new_theta
             theta = lax.cond(i < maxiter - 1, mstep, lambda t: t, theta)
@@ -378,12 +401,19 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
         f_params: Optional[FParams] = None,
         m: Optional[jnp.ndarray] = None,
         V: Optional[jnp.ndarray] = None,
+        sample_weight: Optional[jnp.ndarray] = None,
+        inducing_weight: Optional[jnp.ndarray] = None,
         seed: int = 0) -> FitResult:
     """Fit the spatial GP to (x, r).  The ``varGP`` equivalent.
 
     x: (nt, nx) stimuli, r: (nt,) spike counts.  All optional arguments
     mirror the reference's kwargs (xtilde / hyperparams / f_params / m / V
     warm starts, utils.py:1651-1704).
+
+    ``sample_weight`` (nt,) / ``inducing_weight`` (ntilde,) are 0/1 masks for
+    the pad-and-mask active-learning path: the buffers stay at fixed capacity
+    (one compiled program for the whole closed loop) while masked entries are
+    exactly excluded from the fit.
     """
     from .. import params as P
 
@@ -427,9 +457,16 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
 
     bounds_static = (tuple(sorted(lower.items())),
                      tuple(sorted(upper.items())))
+    wt = None if sample_weight is None else jnp.asarray(sample_weight, dtype)
+    wi = None if inducing_weight is None else jnp.asarray(inducing_weight,
+                                                          dtype)
+    if shared and (wt is not None or wi is not None):
+        # one buffer, one mask
+        wt = wt if wt is not None else wi
+        wi = wi if wi is not None else wt
     carry = _fit_program_jit(x, r, xtilde, theta, f_params, m0, V0,
                              has_V=has_V, shared=shared, cfg=cfg,
-                             bounds_static=bounds_static)
+                             bounds_static=bounds_static, wt=wt, wi=wi)
     kern = carry.kern
     es = kern.es
     return FitResult(

@@ -43,26 +43,33 @@ def mean_f_given_lambda_moments(f_params: FParams, lambda_m: jnp.ndarray,
 
 
 def lambda0_given_logA(logA: jnp.ndarray, r: jnp.ndarray,
-                       lambda_m: jnp.ndarray, lambda_var: jnp.ndarray
-                       ) -> jnp.ndarray:
+                       lambda_m: jnp.ndarray, lambda_var: jnp.ndarray,
+                       weight: jnp.ndarray = None) -> jnp.ndarray:
     """Closed-form optimal lambda0 = log sum(r) - log sum exp(A lam_m +
     0.5 A^2 lam_var) — the solution of dL/dlambda0 = 0
     (reference: utils.py:1215-1229).  Computed via logsumexp for overflow
-    safety (the reference sums raw exponentials)."""
+    safety (the reference sums raw exponentials).  ``weight`` masks padded
+    training points (pad-and-mask active-learning path)."""
     A = jnp.exp(logA)
     z = A * lambda_m + 0.5 * A * A * lambda_var
+    if weight is not None:
+        z = jnp.where(weight > 0, z, -jnp.inf)
+        r = r * weight
     zmax = jnp.max(z)
     logsum = zmax + jnp.log(jnp.sum(jnp.exp(z - zmax)))
     return jnp.log(jnp.sum(r)) - logsum
 
 
 def poisson_ell(r: jnp.ndarray, f_mean: jnp.ndarray, lambda_m: jnp.ndarray,
-                f_params: FParams) -> jnp.ndarray:
+                f_params: FParams, weight: jnp.ndarray = None) -> jnp.ndarray:
     """Expected Poisson log-likelihood
     ``A r^T lambda_m + lambda0 sum(r) - sum(f)``
     (reference: utils.py:1231-1243; the log r! constant is dropped there
-    too)."""
+    too).  ``weight`` masks padded training points."""
     A = jnp.exp(f_params["logA"])
+    if weight is not None:
+        r = r * weight
+        f_mean = f_mean * weight
     return (A * jnp.dot(r, lambda_m)
             + f_params["lambda0"] * jnp.sum(r)
             - jnp.sum(f_mean))

@@ -1,0 +1,101 @@
+"""Pad-and-mask fit equivalence and the closed-loop active-learning driver."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from gaussian_processes_tpu.config import FitConfig
+from gaussian_processes_tpu.models.fit import fit
+from gaussian_processes_tpu.models.active import active_loop
+
+N = 14
+
+
+def make_pool(npool=60, seed=2):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((npool, N * N))
+    lin = np.linspace(-1, 1, N)
+    yy, xx = np.meshgrid(lin, lin, indexing="ij")
+    w = np.exp(-((xx - 0.1) ** 2 + (yy + 0.2) ** 2) / (2 * 0.3 ** 2)).ravel()
+    w = w / np.linalg.norm(w)
+    lam = np.exp(0.8 * X @ w)
+    R = rng.poisson(lam).astype(float)
+    return X, R, lam, w
+
+
+THETA0 = {"sigma_0": 1.0, "eps_0x": 0.0, "eps_0y": 0.0,
+          "-2log2beta": -2 * np.log(2 * 0.3),
+          "-log2rho2": -np.log(2 * 0.15 ** 2), "Amp": 1.0}
+FP0 = {"logA": np.log(0.01), "lambda0": 1.0}
+
+
+def test_padded_fit_matches_unpadded():
+    """A fit on n active points inside a capacity-C padded buffer must give
+    the same physics as the fit on the n points alone: identical loss
+    trajectory (basis-independent) to fp tolerance."""
+    X, R, _, _ = make_pool()
+    n, cap = 25, 40
+    xa = X[:n]; ra = R[:n]
+    theta = {k: jnp.float64(v) for k, v in THETA0.items()}
+    fp = {k: jnp.float64(v) for k, v in FP0.items()}
+
+    cfg_a = FitConfig(ntilde=n, maxiter=4, n_estep=3, n_mstep=3,
+                      n_fparamstep=4, n_px_side=N)
+    res_a = fit(jnp.asarray(xa), jnp.asarray(ra), cfg_a,
+                xtilde=jnp.asarray(xa), theta=theta, f_params=fp)
+
+    x_buf = np.zeros((cap, N * N)); x_buf[:n] = xa
+    r_buf = np.zeros(cap); r_buf[:n] = ra
+    mask = (np.arange(cap) < n).astype(float)
+    cfg_b = FitConfig(ntilde=cap, maxiter=4, n_estep=3, n_mstep=3,
+                      n_fparamstep=4, n_px_side=N)
+    res_b = fit(jnp.asarray(x_buf), jnp.asarray(r_buf), cfg_b,
+                xtilde=jnp.asarray(x_buf), theta=theta, f_params=fp,
+                sample_weight=jnp.asarray(mask))
+
+    assert not res_a.failed and not res_b.failed
+    # same kept-rank
+    assert int(np.asarray(res_a.keep).sum()) == int(np.asarray(res_b.keep).sum())
+    np.testing.assert_allclose(np.asarray(res_b.track.logmarginal),
+                               np.asarray(res_a.track.logmarginal),
+                               rtol=1e-6)
+    for k in THETA0:
+        np.testing.assert_allclose(float(res_b.theta[k]),
+                                   float(res_a.theta[k]), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_active_loop_runs_and_improves():
+    X, R, lam, w = make_pool(npool=80)
+    rng = np.random.default_rng(9)
+    # repeated test set
+    nimg, nrep = 10, 15
+    Xt = rng.standard_normal((nimg, N * N))
+    lam_t = np.exp(0.8 * Xt @ w)
+    Rt = rng.poisson(lam_t[None, :].repeat(nrep, 0)).astype(float)
+
+    cfg = FitConfig(maxiter=3, n_estep=3, n_mstep=2, n_fparamstep=3,
+                    n_px_side=N, track_variational=False)
+    out = active_loop(X, R, start_idx=np.arange(12), n_add=5, cfg=cfg,
+                      theta={k: jnp.float64(v) for k, v in THETA0.items()},
+                      f_params={k: jnp.float64(v) for k, v in FP0.items()},
+                      X_test=Xt, R_test=Rt, nbootstrap=50, seed=0)
+    assert len(out.selected_idx) == 5
+    assert len(set(out.selected_idx)) == 5          # no repeats
+    assert not any(i < 12 for i in out.selected_idx)  # never re-picks used
+    assert len(out.r2_history) == 6
+    assert not out.final_fit.failed
+    assert np.all(np.isfinite(out.r2_history))
+
+
+def test_active_loop_random_baseline():
+    X, R, _, _ = make_pool(npool=50)
+    cfg = FitConfig(maxiter=2, n_estep=2, n_mstep=0, n_fparamstep=3,
+                    n_px_side=N, track_variational=False)
+    out = active_loop(X, R, start_idx=np.arange(10), n_add=3, cfg=cfg,
+                      theta={k: jnp.float64(v) for k, v in THETA0.items()},
+                      f_params={k: jnp.float64(v) for k, v in FP0.items()},
+                      select="random", seed=1)
+    assert len(out.selected_idx) == 3
+    assert all(np.isnan(u) for u in out.utilities)
+    assert not out.final_fit.failed
