@@ -1,0 +1,89 @@
+"""Population fits on a virtual 8-device CPU mesh: vmap-over-cells plus
+cells x data sharding, and agreement with single-cell fits."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gaussian_processes_tpu.config import FitConfig
+from gaussian_processes_tpu.models.fit import fit
+from gaussian_processes_tpu.parallel import (
+    make_mesh, fit_population)
+from gaussian_processes_tpu.parallel.population import population_results
+
+N = 12
+
+
+def make_population(ncells=4, nt=32, seed=3):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((nt, N * N))
+    lin = np.linspace(-1, 1, N)
+    yy, xx = np.meshgrid(lin, lin, indexing="ij")
+    R = np.zeros((ncells, nt))
+    for c in range(ncells):
+        cx, cy = rng.uniform(-0.4, 0.4, 2)
+        w = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 0.3 ** 2)).ravel()
+        w /= np.linalg.norm(w)
+        R[c] = rng.poisson(np.exp(0.8 * X @ w))
+    return X, R
+
+
+THETA0 = {"sigma_0": 1.0, "eps_0x": 0.0, "eps_0y": 0.0,
+          "-2log2beta": -2 * np.log(2 * 0.3),
+          "-log2rho2": -np.log(2 * 0.15 ** 2), "Amp": 1.0}
+FP0 = {"logA": np.log(0.01), "lambda0": 1.0}
+CFG = dict(maxiter=3, n_estep=3, n_mstep=2, n_fparamstep=3, n_px_side=N,
+           track_variational=False)
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_population_matches_single_cell_fits():
+    X, R = make_population()
+    cfg = FitConfig(ntilde=X.shape[0], **CFG)
+    carry, (lo, hi) = fit_population(
+        jnp.asarray(X), jnp.asarray(R), cfg, xtilde=jnp.asarray(X),
+        thetas={k: jnp.float64(v) for k, v in THETA0.items()},
+        f_params={k: jnp.float64(v) for k, v in FP0.items()})
+    results = population_results(carry, cfg, jnp.asarray(X), lo, hi)
+    assert len(results) == R.shape[0]
+    for c, res in enumerate(results):
+        single = fit(jnp.asarray(X), jnp.asarray(R[c]), cfg,
+                     xtilde=jnp.asarray(X),
+                     theta={k: jnp.float64(v) for k, v in THETA0.items()},
+                     f_params={k: jnp.float64(v) for k, v in FP0.items()})
+        assert not res.failed and not single.failed
+        np.testing.assert_allclose(np.asarray(res.track.logmarginal),
+                                   np.asarray(single.track.logmarginal),
+                                   rtol=1e-7, err_msg=f"cell {c}")
+
+
+def test_population_sharded_over_mesh():
+    """cells x data mesh: same numbers as the unsharded program."""
+    X, R = make_population(ncells=4, nt=32)
+    cfg = FitConfig(ntilde=X.shape[0], **CFG)
+    kw = dict(
+        xtilde=jnp.asarray(X),
+        thetas={k: jnp.float64(v) for k, v in THETA0.items()},
+        f_params={k: jnp.float64(v) for k, v in FP0.items()})
+    mesh = make_mesh(n_cells_axis=4, n_data_axis=2)
+    carry_sh, _ = fit_population(jnp.asarray(X), jnp.asarray(R), cfg,
+                                 mesh=mesh, **kw)
+    carry, _ = fit_population(jnp.asarray(X), jnp.asarray(R), cfg, **kw)
+    np.testing.assert_allclose(np.asarray(carry_sh.track.logmarginal),
+                               np.asarray(carry.track.logmarginal),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(carry_sh.m_b),
+                               np.asarray(carry.m_b), rtol=1e-6, atol=1e-9)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8, 1)
+    mesh = make_mesh(n_data_axis=4)
+    assert mesh.devices.shape == (2, 4)
+    with pytest.raises(ValueError):
+        make_mesh(n_cells_axis=3, n_data_axis=3)
