@@ -1,0 +1,95 @@
+"""Headline benchmark: single-cell spatial-GP fit wall-clock on TPU.
+
+Reference baseline (BASELINE.md): the stored one_cell_fit.ipynb:cell8 run —
+maxiter=30, nEstep=10, nMstep=10, 3,160 training images of 108x108 pixels,
+ntilde=2100 inducing points (cell2 config), float64 on the lab GPU — took
+85.2 s.  This benchmark runs the same fit configuration (synthetic data at
+identical shapes, f32 + HIGHEST-precision matmuls) as ONE jit-compiled
+program on a single TPU chip and reports the wall-clock of the compiled
+program (compile excluded; it is amortized across cells/sessions in
+practice).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": ..., "unit": "s", "vs_baseline": speedup}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SECONDS = 85.2
+
+# Reference stored-run configuration (one_cell_fit.ipynb:cell2/cell8)
+NT = 3160
+N_PX = 108
+NTILDE = 2100
+MAXITER = 30
+N_ESTEP = 10
+N_MSTEP = 10
+N_FPARAMSTEP = 10
+
+
+def make_data(seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((NT, N_PX * N_PX)).astype(np.float32)
+    lin = np.linspace(-1, 1, N_PX)
+    yy, xx = np.meshgrid(lin, lin, indexing="ij")
+    w = np.exp(-((xx - 0.1) ** 2 + (yy + 0.2) ** 2) / (2 * 0.1 ** 2)).ravel()
+    w = (w / np.linalg.norm(w)).astype(np.float32)
+    lam = np.exp(0.8 * X @ w)
+    R = rng.poisson(lam).astype(np.float32)
+    return X, R
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from gaussian_processes_tpu.config import FitConfig
+    from gaussian_processes_tpu.models.fit import fit
+
+    X, R = make_data()
+    X = jnp.asarray(X)
+    R = jnp.asarray(R)
+
+    key = jax.random.PRNGKey(0)
+    idx = jax.random.permutation(key, NT)[:NTILDE]
+    xtilde = X[idx]
+
+    theta = {"sigma_0": 1.0, "eps_0x": 0.0001, "eps_0y": 0.0001,
+             "-2log2beta": -2 * np.log(2 * 0.1),
+             "-log2rho2": -np.log(2 * 0.1 ** 2), "Amp": 1.0}
+    theta = {k: jnp.float32(v) for k, v in theta.items()}
+    f_params = {"logA": jnp.float32(np.log(0.01)),
+                "lambda0": jnp.float32(1.0)}
+
+    cfg = FitConfig(ntilde=NTILDE, maxiter=MAXITER, n_estep=N_ESTEP,
+                    n_mstep=N_MSTEP, n_fparamstep=N_FPARAMSTEP,
+                    n_px_side=N_PX, track_variational=False)
+
+    def run():
+        res = fit(X, R, cfg, xtilde=xtilde, theta=theta, f_params=f_params)
+        jax.block_until_ready(res.m_b)
+        return res
+
+    # warm-up (compile)
+    res = run()
+    t0 = time.perf_counter()
+    res = run()
+    elapsed = time.perf_counter() - t0
+
+    loss = np.asarray(res.track.logmarginal)
+    ok = bool(np.all(np.isfinite(loss))) and not res.failed
+    value = elapsed if ok else float("inf")
+    print(json.dumps({
+        "metric": "one_cell_fit_wallclock",
+        "value": round(value, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / value, 2) if ok else 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()
