@@ -65,9 +65,13 @@ def main():
     f_params = {"logA": jnp.float32(np.log(0.01)),
                 "lambda0": jnp.float32(1.0)}
 
+    # Per-iteration compilation: three compact programs instead of one
+    # maxiter-unrolled HLO (the tunnel'd remote compiler rejects the giant
+    # single program; numerics are identical — see test_fit_modes).
     cfg = FitConfig(ntilde=NTILDE, maxiter=MAXITER, n_estep=N_ESTEP,
                     n_mstep=N_MSTEP, n_fparamstep=N_FPARAMSTEP,
-                    n_px_side=N_PX, track_variational=False)
+                    n_px_side=N_PX, track_variational=False,
+                    jit_whole_fit=False)
 
     def run():
         res = fit(X, R, cfg, xtilde=xtilde, theta=theta, f_params=f_params)

@@ -255,16 +255,15 @@ def _track_update(track: Track, i, loss_tuple, theta, f_params, es, m_b, V_b,
 # The jitted fit program
 # ---------------------------------------------------------------------------
 
-def _fit_program(x, r, xtilde, theta0: Theta, f_params0: FParams,
-                 m0, V0, has_V: bool, shared: bool, cfg: FitConfig,
-                 bounds_static, wt=None, wi=None):
-    lower = dict(bounds_static[0])
-    upper = dict(bounds_static[1])
+def _fit_init(x, r, xtilde, theta0: Theta, f_params0: FParams, m0, V0,
+              has_V: bool, shared: bool, cfg: FitConfig, wt=None, wi=None
+              ) -> Carry:
+    """Initialization: kernels, eigenspace, variational state, tracking
+    (reference: utils.py:1667-1791)."""
     dtype = x.dtype
     ntilde = xtilde.shape[0]
     maxiter = cfg.maxiter
 
-    # ---- init (reference: utils.py:1667-1711) ----
     kern = _build_kernel_state(theta0, x, xtilde, shared, cfg, wt, wi)
     es = kern.es
     m_b = jnp.matmul(es.B.T, m0, precision=MATMUL_PRECISION)
@@ -296,11 +295,19 @@ def _fit_program(x, r, xtilde, theta0: Theta, f_params0: FParams,
     track = _track_update(track, 0, (ell0, kl0), theta0, f_params0, es,
                           m_b, V_b, cfg)
 
-    carry = Carry(theta0, f_params0, m_b, V_b, kern, lambda_m, lambda_var,
-                  track, jnp.asarray(False), jnp.asarray(-1, jnp.int32))
+    return Carry(theta0, f_params0, m_b, V_b, kern, lambda_m, lambda_var,
+                 track, jnp.asarray(False), jnp.asarray(-1, jnp.int32))
 
-    # ---- one EM iteration (reference loop body: utils.py:1794-2125) ----
-    def do_iteration(i, c: Carry) -> Carry:
+
+def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
+                   bounds_static, wt=None, wi=None) -> Carry:
+    """One EM iteration (reference loop body: utils.py:1794-2125), a no-op
+    once the carry is marked failed."""
+    lower = dict(bounds_static[0])
+    upper = dict(bounds_static[1])
+    maxiter = cfg.maxiter
+
+    def do_iteration(c: Carry) -> Carry:
         theta, f_params = c.theta, c.f_params
         m_b, V_b, kern = c.m_b, c.V_b, c.kern
 
@@ -369,26 +376,50 @@ def _fit_program(x, r, xtilde, theta0: Theta, f_params0: FParams,
         return jax.tree_util.tree_map(
             lambda a, b: jnp.where(failed_now, a, b), reverted, new)
 
-    def body(i, c: Carry) -> Carry:
-        return lax.cond(c.failed, lambda c: c, partial(do_iteration, i), c)
+    return lax.cond(c.failed, lambda c: c, do_iteration, c)
 
-    carry = lax.fori_loop(1, maxiter, body, carry)
 
-    # ---- final V_b symmetry / PSD repair (utils.py:2243-2248) ----
-    V_b = 0.5 * (carry.V_b + carry.V_b.T)
-    keepf = carry.kern.es.keep.astype(dtype)
+def _fit_finalize(c: Carry, cfg: FitConfig) -> Carry:
+    """Final V_b symmetry / PSD repair (utils.py:2243-2248)."""
+    dtype = c.V_b.dtype
+    ntilde = c.V_b.shape[0]
+    V_b = 0.5 * (c.V_b + c.V_b.T)
+    keepf = c.kern.es.keep.astype(dtype)
     min_eig = jnp.min(jnp.linalg.eigvalsh(V_b + jnp.diag(1.0 - keepf)))
     V_b = jnp.where(min_eig <= 0,
                     V_b + jnp.eye(ntilde, dtype=dtype) * cfg.eigval_tol
                     * keepf[:, None] * keepf[None, :],
                     V_b)
-    carry = carry._replace(V_b=V_b)
-    return carry
+    return c._replace(V_b=V_b)
+
+
+def _fit_program(x, r, xtilde, theta0: Theta, f_params0: FParams,
+                 m0, V0, has_V: bool, shared: bool, cfg: FitConfig,
+                 bounds_static, wt=None, wi=None):
+    """The whole EM fit as ONE program (init + fori_loop + finalize)."""
+    carry = _fit_init(x, r, xtilde, theta0, f_params0, m0, V0, has_V,
+                      shared, cfg, wt, wi)
+    carry = lax.fori_loop(
+        1, cfg.maxiter,
+        lambda i, c: _fit_iteration(i, c, x, r, xtilde, shared, cfg,
+                                    bounds_static, wt, wi),
+        carry)
+    return _fit_finalize(carry, cfg)
 
 
 _fit_program_jit = jax.jit(
     _fit_program,
     static_argnames=("has_V", "shared", "cfg", "bounds_static"))
+
+# Per-iteration compilation: the same math as _fit_program but driven by a
+# host loop — three small programs instead of one maxiter-times-unrolled HLO.
+# Numerically identical; dispatch overhead is microseconds per EM iteration.
+_fit_init_jit = jax.jit(_fit_init,
+                        static_argnames=("has_V", "shared", "cfg"))
+_fit_iteration_jit = jax.jit(
+    _fit_iteration, static_argnames=("shared", "cfg", "bounds_static"),
+    donate_argnums=(1,))
+_fit_finalize_jit = jax.jit(_fit_finalize, static_argnames=("cfg",))
 
 
 # ---------------------------------------------------------------------------
@@ -464,9 +495,20 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
         # one buffer, one mask
         wt = wt if wt is not None else wi
         wi = wi if wi is not None else wt
-    carry = _fit_program_jit(x, r, xtilde, theta, f_params, m0, V0,
-                             has_V=has_V, shared=shared, cfg=cfg,
-                             bounds_static=bounds_static, wt=wt, wi=wi)
+    if cfg.jit_whole_fit:
+        carry = _fit_program_jit(x, r, xtilde, theta, f_params, m0, V0,
+                                 has_V=has_V, shared=shared, cfg=cfg,
+                                 bounds_static=bounds_static, wt=wt, wi=wi)
+    else:
+        carry = _fit_init_jit(x, r, xtilde, theta, f_params, m0, V0,
+                              has_V=has_V, shared=shared, cfg=cfg,
+                              wt=wt, wi=wi)
+        for i in range(1, cfg.maxiter):
+            carry = _fit_iteration_jit(jnp.asarray(i, jnp.int32), carry,
+                                       x, r, xtilde, shared=shared, cfg=cfg,
+                                       bounds_static=bounds_static,
+                                       wt=wt, wi=wi)
+        carry = _fit_finalize_jit(carry, cfg=cfg)
     kern = carry.kern
     es = kern.es
     return FitResult(

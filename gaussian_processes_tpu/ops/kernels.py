@@ -213,7 +213,8 @@ def acosker(theta: Theta, x1: jnp.ndarray, x2: Optional[jnp.ndarray] = None,
 
 def gram_matrices(theta: Theta, x: jnp.ndarray, xtilde: jnp.ndarray,
                   n_px_side: int, shared: bool,
-                  alpha_threshold: float = ALPHA_THRESHOLD):
+                  alpha_threshold: float = ALPHA_THRESHOLD,
+                  backend: str = "xla"):
     """K_tilde (ntilde, ntilde), K (nt, ntilde), Kvec (nt,) in one pass,
     sharing the smoothed images (the reference computes them with three
     separate acosker calls, utils.py:1675-1680 / 2031-2033).
@@ -221,28 +222,47 @@ def gram_matrices(theta: Theta, x: jnp.ndarray, xtilde: jnp.ndarray,
     ``shared=True`` means xtilde is x (inducing points == training points), in
     which case K = K_tilde and all quantities come from a single smoothing
     pass.
+
+    ``backend="pallas"`` routes the big Gram contractions through the fused
+    Pallas tile kernel (ops/gram_pallas.py); "xla" (default) uses
+    HIGHEST-precision jnp.matmul and lets XLA fuse the epilogue.
     """
     dtype = x.dtype
     alpha_eff, _, _ = local_envelope(theta, n_px_side, dtype, alpha_threshold)
     S = smooth_factor(theta, n_px_side, dtype)
     amp = theta["Amp"].astype(dtype)
+    sigma0 = theta["sigma_0"].astype(dtype)
 
     ut = xtilde * alpha_eff
     st = smooth_apply(S, ut, n_px_side)
     qtt_diag = amp * jnp.sum(ut * st, axis=1)
-    qtt = amp * jnp.matmul(ut, st.T, precision=MATMUL_PRECISION)
-    K_tilde = _acos_from_quads(theta, qtt_diag, qtt_diag, qtt, symmetrize=True)
+
+    if backend == "pallas":
+        from .gram_pallas import acos_gram_pallas, _use_interpret
+        interp = _use_interpret()
+        # fold Amp into one side of the product so the kernel's q12 is the
+        # complete quadratic form
+        K_tilde = acos_gram_pallas(ut * amp, st.T, qtt_diag, qtt_diag,
+                                   sigma0, interpret=interp).astype(dtype)
+        K_tilde = 0.5 * (K_tilde + K_tilde.T)
+    else:
+        qtt = amp * jnp.matmul(ut, st.T, precision=MATMUL_PRECISION)
+        K_tilde = _acos_from_quads(theta, qtt_diag, qtt_diag, qtt,
+                                   symmetrize=True)
 
     if shared:
-        sigma0 = theta["sigma_0"].astype(dtype)
         Kvec = qtt_diag + sigma0 * sigma0
         return K_tilde, K_tilde, Kvec
 
     u = x * alpha_eff
     s = smooth_apply(S, u, n_px_side)
     q_diag = amp * jnp.sum(u * s, axis=1)
-    q = amp * jnp.matmul(u, st.T, precision=MATMUL_PRECISION)
-    K = _acos_from_quads(theta, q_diag, qtt_diag, q, symmetrize=False)
-    sigma0 = theta["sigma_0"].astype(dtype)
+    if backend == "pallas":
+        from .gram_pallas import acos_gram_pallas, _use_interpret
+        K = acos_gram_pallas(u * amp, st.T, q_diag, qtt_diag, sigma0,
+                             interpret=_use_interpret()).astype(dtype)
+    else:
+        q = amp * jnp.matmul(u, st.T, precision=MATMUL_PRECISION)
+        K = _acos_from_quads(theta, q_diag, qtt_diag, q, symmetrize=False)
     Kvec = q_diag + sigma0 * sigma0
     return K_tilde, K, Kvec

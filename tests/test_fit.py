@@ -148,3 +148,20 @@ def test_vargp_trajectory_parity():
     np.testing.assert_allclose(our_loss[0], ref_loss[0], rtol=1e-8)
     np.testing.assert_allclose(our_loss, ref_loss, rtol=0.02)
     assert our_loss[-1] <= ref_loss[-1] * 1.01
+
+
+def test_whole_fit_vs_per_iteration_modes():
+    """jit_whole_fit=True (one program) and False (host-driven iterations)
+    must be numerically identical."""
+    import dataclasses
+    x, r = synthetic_problem()
+    res_whole = run_ours(x, r, maxiter=4, ne=3, nm=3, nf=3)
+    cfg2 = dataclasses.replace(res_whole.config, jit_whole_fit=False)
+    jth = {k: jnp.float64(v) for k, v in THETA0.items()}
+    jfp = {k: jnp.float64(v) for k, v in FP0.items()}
+    res_iter = fit(jnp.asarray(x), jnp.asarray(r), cfg2,
+                   xtilde=jnp.asarray(x), theta=jth, f_params=jfp)
+    np.testing.assert_array_equal(np.asarray(res_whole.track.logmarginal),
+                                  np.asarray(res_iter.track.logmarginal))
+    np.testing.assert_array_equal(np.asarray(res_whole.m_b),
+                                  np.asarray(res_iter.m_b))
