@@ -66,6 +66,14 @@ class FitConfig:
     lr_hyperparams: float = 0.1       # reference: utils.py:2009
     track_variational: bool = True    # record (m_b, V_b) per iteration
     jit_whole_fit: bool = True        # compile the entire EM loop as one program
+    # Static crop window around the RF (exact — cropped pixels carry zero
+    # kernel weight).  Active only in per-iteration mode
+    # (jit_whole_fit=False), where the window tracks theta between compiled
+    # calls.  w is bucketed to crop_bucket multiples so jit caches a handful
+    # of window sizes.
+    crop_window: bool = True
+    crop_margin: float = 1.25
+    crop_bucket: int = 16
 
     def resolve_ntilde(self, nt: int) -> int:
         if self.ntilde is not None:

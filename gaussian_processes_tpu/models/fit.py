@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import FitConfig, MATMUL_PRECISION
-from ..ops.kernels import gram_matrices, local_envelope
+from ..ops.kernels import (crop_window_for_theta, gram_matrices,
+                           gram_matrices_windowed, local_envelope)
 from ..ops.stabilize import (Eigenspace, compute_eigenspace, masked_inverse,
                              project_gram, reproject)
 from ..optim.lbfgs import lbfgs_minimize
@@ -136,13 +137,20 @@ class FitResult:
 # Building blocks
 # ---------------------------------------------------------------------------
 
-def _masked_grams(theta, x, xtilde, shared, cfg, wt=None, wi=None):
+def _masked_grams(theta, x, xtilde, shared, cfg, wt=None, wi=None,
+                  win=None):
     """Gram matrices with optional pad-and-mask weights: inactive inducing
     rows/cols of K_tilde and inactive training rows of K / Kvec are zeroed,
     which confines the whole downstream algebra (eigh keep-mask, E-step,
-    moments) to the active subproblem without any shape change."""
-    K_tilde, K, Kvec = gram_matrices(theta, x, xtilde, cfg.n_px_side, shared,
-                                     cfg.alpha_threshold)
+    moments) to the active subproblem without any shape change.  ``win`` is
+    an optional (i0, j0, w) static-size crop window."""
+    if win is not None:
+        K_tilde, K, Kvec = gram_matrices_windowed(
+            theta, x, xtilde, cfg.n_px_side, shared, win[0], win[1], win[2],
+            cfg.alpha_threshold)
+    else:
+        K_tilde, K, Kvec = gram_matrices(theta, x, xtilde, cfg.n_px_side,
+                                         shared, cfg.alpha_threshold)
     if wi is not None:
         K_tilde = K_tilde * (wi[:, None] * wi[None, :])
         if shared:
@@ -159,8 +167,10 @@ def _masked_grams(theta, x, xtilde, shared, cfg, wt=None, wi=None):
 
 
 def _build_kernel_state(theta: Theta, x, xtilde, shared: bool,
-                        cfg: FitConfig, wt=None, wi=None) -> KernelState:
-    K_tilde, K, Kvec = _masked_grams(theta, x, xtilde, shared, cfg, wt, wi)
+                        cfg: FitConfig, wt=None, wi=None,
+                        win=None) -> KernelState:
+    K_tilde, K, Kvec = _masked_grams(theta, x, xtilde, shared, cfg, wt, wi,
+                                     win)
     es = compute_eigenspace(K_tilde, cfg.eigval_tol)
     K_b = jnp.matmul(K, es.B, precision=MATMUL_PRECISION)
     a = es.B if shared else K_b * es.k_tilde_inv_diag[None, :]
@@ -204,7 +214,7 @@ def _estep_block(x, r, kern: KernelState, m_b, V_b, f_params, lambda_m,
 
 def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
                      f_params, shared: bool, cfg: FitConfig,
-                     lower, upper, wt=None, wi=None):
+                     lower, upper, wt=None, wi=None, win=None):
     """Negative log-marginal as a function of theta with the eigenspace B
     FIXED (reference closure: utils.py:2017-2112).  Out-of-bounds trial
     points return +inf (utils.py:2020-2028); the loss itself is evaluated on
@@ -212,7 +222,8 @@ def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
     ok = theta_in_bounds(theta, lower, upper)
     theta_c = clip_theta(theta, lower, upper)
 
-    K_tilde, K, Kvec = _masked_grams(theta_c, x, xtilde, shared, cfg, wt, wi)
+    K_tilde, K, Kvec = _masked_grams(theta_c, x, xtilde, shared, cfg, wt, wi,
+                                     win)
     B = es.B
     K_tilde_b = jnp.matmul(B.T, jnp.matmul(K_tilde, B,
                                            precision=MATMUL_PRECISION),
@@ -256,15 +267,16 @@ def _track_update(track: Track, i, loss_tuple, theta, f_params, es, m_b, V_b,
 # ---------------------------------------------------------------------------
 
 def _fit_init(x, r, xtilde, theta0: Theta, f_params0: FParams, m0, V0,
-              has_V: bool, shared: bool, cfg: FitConfig, wt=None, wi=None
-              ) -> Carry:
+              has_V: bool, shared: bool, cfg: FitConfig, wt=None, wi=None,
+              win_i0=None, win_j0=None, win_w=None) -> Carry:
     """Initialization: kernels, eigenspace, variational state, tracking
     (reference: utils.py:1667-1791)."""
     dtype = x.dtype
     ntilde = xtilde.shape[0]
     maxiter = cfg.maxiter
 
-    kern = _build_kernel_state(theta0, x, xtilde, shared, cfg, wt, wi)
+    win = None if win_w is None else (win_i0, win_j0, win_w)
+    kern = _build_kernel_state(theta0, x, xtilde, shared, cfg, wt, wi, win)
     es = kern.es
     m_b = jnp.matmul(es.B.T, m0, precision=MATMUL_PRECISION)
     if has_V:
@@ -300,12 +312,14 @@ def _fit_init(x, r, xtilde, theta0: Theta, f_params0: FParams, m0, V0,
 
 
 def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
-                   bounds_static, wt=None, wi=None) -> Carry:
+                   bounds_static, wt=None, wi=None,
+                   win_i0=None, win_j0=None, win_w=None) -> Carry:
     """One EM iteration (reference loop body: utils.py:1794-2125), a no-op
     once the carry is marked failed."""
     lower = dict(bounds_static[0])
     upper = dict(bounds_static[1])
     maxiter = cfg.maxiter
+    win = None if win_w is None else (win_i0, win_j0, win_w)
 
     def do_iteration(c: Carry) -> Carry:
         theta, f_params = c.theta, c.f_params
@@ -318,7 +332,7 @@ def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
             def rebuild(args):
                 theta, m_b, V_b, kern = args
                 new_kern = _build_kernel_state(theta, x, xtilde, shared, cfg,
-                                               wt, wi)
+                                               wt, wi, win)
                 m_b, V_b = reproject(new_kern.es, kern.es, m_b, V_b)
                 return m_b, V_b, new_kern
             m_b, V_b, kern = lax.cond(
@@ -354,7 +368,8 @@ def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
                 obj = partial(_mstep_objective, x=x, xtilde=xtilde, r=r,
                               es=kern.es, m_b=m_b, V_b=V_b,
                               f_params=f_params, shared=shared, cfg=cfg,
-                              lower=lower, upper=upper, wt=wt, wi=wi)
+                              lower=lower, upper=upper, wt=wt, wi=wi,
+                              win=win)
                 new_theta, _ = lbfgs_minimize(obj, theta, cfg.n_mstep)
                 return new_theta
             theta = lax.cond(i < maxiter - 1, mstep, lambda t: t, theta)
@@ -415,9 +430,10 @@ _fit_program_jit = jax.jit(
 # host loop — three small programs instead of one maxiter-times-unrolled HLO.
 # Numerically identical; dispatch overhead is microseconds per EM iteration.
 _fit_init_jit = jax.jit(_fit_init,
-                        static_argnames=("has_V", "shared", "cfg"))
+                        static_argnames=("has_V", "shared", "cfg", "win_w"))
 _fit_iteration_jit = jax.jit(
-    _fit_iteration, static_argnames=("shared", "cfg", "bounds_static"),
+    _fit_iteration,
+    static_argnames=("shared", "cfg", "bounds_static", "win_w"),
     donate_argnums=(1,))
 _fit_finalize_jit = jax.jit(_fit_finalize, static_argnames=("cfg",))
 
@@ -500,14 +516,28 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
                                  has_V=has_V, shared=shared, cfg=cfg,
                                  bounds_static=bounds_static, wt=wt, wi=wi)
     else:
+        def window_args(th):
+            if not cfg.crop_window:
+                return dict(win_i0=None, win_j0=None, win_w=None)
+            i0, j0, w = crop_window_for_theta(
+                {k: jnp.asarray(v) for k, v in th.items()}, cfg.n_px_side,
+                cfg.alpha_threshold, cfg.crop_margin, cfg.crop_bucket)
+            if w >= cfg.n_px_side:
+                return dict(win_i0=None, win_j0=None, win_w=None)
+            return dict(win_i0=jnp.asarray(i0, jnp.int32),
+                        win_j0=jnp.asarray(j0, jnp.int32), win_w=w)
+
         carry = _fit_init_jit(x, r, xtilde, theta, f_params, m0, V0,
                               has_V=has_V, shared=shared, cfg=cfg,
-                              wt=wt, wi=wi)
+                              wt=wt, wi=wi, **window_args(theta))
         for i in range(1, cfg.maxiter):
+            # the window tracks theta between compiled calls (host sync of
+            # a few scalars; w stays in a small set of bucketed sizes)
             carry = _fit_iteration_jit(jnp.asarray(i, jnp.int32), carry,
                                        x, r, xtilde, shared=shared, cfg=cfg,
                                        bounds_static=bounds_static,
-                                       wt=wt, wi=wi)
+                                       wt=wt, wi=wi,
+                                       **window_args(carry.theta))
         carry = _fit_finalize_jit(carry, cfg=cfg)
     kern = carry.kern
     es = kern.es

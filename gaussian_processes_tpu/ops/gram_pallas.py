@@ -30,12 +30,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _acos_poly(x):
+    """arccos via the Abramowitz & Stegun 4.4.45 minimax polynomial
+    (|error| <= 2e-8 rad — below f32 roundoff for the J factor).  Mosaic has
+    no acos lowering, so the kernel carries its own."""
+    ax = jnp.abs(x)
+    p = (((((((-0.0012624911 * ax + 0.0066700901) * ax - 0.0170881256) * ax
+             + 0.0308918810) * ax - 0.0501743046) * ax + 0.0889789874) * ax
+          - 0.2145988016) * ax + 1.5707963050)
+    r = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * p
+    return jnp.where(x >= 0, r, jnp.pi - r)
+
+
 def _acos_tile(q12, x1, x2, s02):
     """Arc-cosine assembly for one tile.  x1: (bm, 1) sqrt-norms, x2:
     (1, bn) sqrt-norms (sigma0^2 already included)."""
     X1X2 = x1 * x2
     cosd = jnp.clip((q12 + s02) / (X1X2 + COSDELTA_JITTER), -1.0, 1.0)
-    delta = jnp.arccos(cosd)
+    delta = _acos_poly(cosd)
     s = jnp.sqrt(jnp.maximum(1.0 - cosd * cosd, 0.0))
     J = (s + (jnp.pi - delta) * cosd) / jnp.pi
     return X1X2 * J

@@ -115,14 +115,84 @@ def materialize_C(theta: Theta, n_px_side: int, dtype=None,
 # Quadratic forms through C without materializing it
 # ---------------------------------------------------------------------------
 
-def smooth_apply(S: jnp.ndarray, w: jnp.ndarray, n_px_side: int) -> jnp.ndarray:
+def smooth_apply(S: jnp.ndarray, w: jnp.ndarray, n_px_side: int,
+                 Sx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Apply the separable smoothness prior to flattened images w
-    (batch, nx): reshape to (batch, n, n), compute S W S, flatten back."""
+    (batch, nx): reshape to (batch, n, n), compute Sy W Sx, flatten back.
+    ``Sx`` defaults to S (full-grid case); a cropped window passes distinct
+    row/column factors."""
     b = w.shape[0]
+    if Sx is None:
+        Sx = S
     imgs = w.reshape(b, n_px_side, n_px_side)
-    out = jnp.einsum("ik,bkl,lj->bij", S, imgs, S,
+    out = jnp.einsum("ik,bkl,lj->bij", S, imgs, Sx,
                      precision=MATMUL_PRECISION)
     return out.reshape(b, n_px_side * n_px_side)
+
+
+# ---------------------------------------------------------------------------
+# Static crop window: exact FLOP reduction around the RF
+# ---------------------------------------------------------------------------
+#
+# Pixels with envelope alpha < threshold contribute exactly zero to every
+# kernel quantity (their weight is zeroed), so restricting the computation to
+# any window that CONTAINS the mask is bit-exact while cutting the
+# contraction length from n^2 to w^2 (the reference gets the same saving
+# from its dynamic crop, utils.py:883-887).  The window has a static side w
+# (bucketed so jit caches a handful of variants) and traced corner (i0, j0),
+# recomputed between jit boundaries as theta moves.
+
+def crop_window_for_theta(theta: Theta, n_px_side: int,
+                          alpha_threshold: float = ALPHA_THRESHOLD,
+                          margin: float = 1.25, bucket: int = 16):
+    """(i0, j0, w) covering {alpha >= threshold} with a safety margin.
+
+    Host-side helper (concrete theta values).  Returns w == n_px_side when
+    the RF covers most of the grid (no crop benefit).
+    """
+    import math as _math
+    gb = float(jnp.exp(theta["-2log2beta"]))
+    eps_x = float(theta["eps_0x"])
+    eps_y = float(theta["eps_0y"])
+    # alpha >= t  <=>  d^2 <= ln(1/t) / gb
+    radius = _math.sqrt(max(_math.log(1.0 / alpha_threshold) / max(gb, 1e-12),
+                            0.0)) * margin
+    # [-1, 1] grid: pixel spacing 2 / (n - 1)
+    half_px = radius * (n_px_side - 1) / 2.0
+    w = int(2 * half_px) + 2
+    w = min(((w + bucket - 1) // bucket) * bucket, n_px_side)
+    if w >= n_px_side:
+        return 0, 0, n_px_side
+    cx = (eps_x + 1.0) * (n_px_side - 1) / 2.0
+    cy = (eps_y + 1.0) * (n_px_side - 1) / 2.0
+    i0 = int(round(cy)) - w // 2
+    j0 = int(round(cx)) - w // 2
+    i0 = max(0, min(i0, n_px_side - w))
+    j0 = max(0, min(j0, n_px_side - w))
+    return i0, j0, w
+
+
+def crop_images(x: jnp.ndarray, i0, j0, w: int, n_px_side: int) -> jnp.ndarray:
+    """Crop flattened images (nt, n^2) to the (w, w) window -> (nt, w^2).
+    i0/j0 may be traced scalars; w is static."""
+    nt = x.shape[0]
+    imgs = x.reshape(nt, n_px_side, n_px_side)
+    win = jax.lax.dynamic_slice(imgs, (jnp.zeros((), jnp.int32),
+                                       jnp.asarray(i0, jnp.int32),
+                                       jnp.asarray(j0, jnp.int32)),
+                                (nt, w, w))
+    return win.reshape(nt, w * w)
+
+
+def window_coords(i0, j0, w: int, n_px_side: int, dtype):
+    """(xcord, ycord) of the flattened window, plus the 1-D coordinate
+    slices used for the smoothness factors."""
+    lin = jnp.asarray(_grid_1d_np(n_px_side), dtype)
+    lin_y = jax.lax.dynamic_slice(lin, (jnp.asarray(i0, jnp.int32),), (w,))
+    lin_x = jax.lax.dynamic_slice(lin, (jnp.asarray(j0, jnp.int32),), (w,))
+    ycord = jnp.repeat(lin_y, w)
+    xcord = jnp.tile(lin_x, w)
+    return xcord, ycord, lin_y, lin_x
 
 
 def quad_forms(theta: Theta, x1: jnp.ndarray, x2: Optional[jnp.ndarray],
@@ -230,11 +300,20 @@ def gram_matrices(theta: Theta, x: jnp.ndarray, xtilde: jnp.ndarray,
     dtype = x.dtype
     alpha_eff, _, _ = local_envelope(theta, n_px_side, dtype, alpha_threshold)
     S = smooth_factor(theta, n_px_side, dtype)
+    return _gram_core(theta, x, xtilde, alpha_eff, S, S, n_px_side, shared,
+                      backend)
+
+
+def _gram_core(theta: Theta, x, xtilde, alpha_eff, Sy, Sx, side: int,
+               shared: bool, backend: str):
+    """Shared Gram assembly over a (side x side) pixel set (full grid or
+    crop window) with precomputed envelope and smoothing factors."""
+    dtype = x.dtype
     amp = theta["Amp"].astype(dtype)
     sigma0 = theta["sigma_0"].astype(dtype)
 
     ut = xtilde * alpha_eff
-    st = smooth_apply(S, ut, n_px_side)
+    st = smooth_apply(Sy, ut, side, Sx)
     qtt_diag = amp * jnp.sum(ut * st, axis=1)
 
     if backend == "pallas":
@@ -255,7 +334,7 @@ def gram_matrices(theta: Theta, x: jnp.ndarray, xtilde: jnp.ndarray,
         return K_tilde, K_tilde, Kvec
 
     u = x * alpha_eff
-    s = smooth_apply(S, u, n_px_side)
+    s = smooth_apply(Sy, u, side, Sx)
     q_diag = amp * jnp.sum(u * s, axis=1)
     if backend == "pallas":
         from .gram_pallas import acos_gram_pallas, _use_interpret
@@ -266,3 +345,34 @@ def gram_matrices(theta: Theta, x: jnp.ndarray, xtilde: jnp.ndarray,
         K = _acos_from_quads(theta, q_diag, qtt_diag, q, symmetrize=False)
     Kvec = q_diag + sigma0 * sigma0
     return K_tilde, K, Kvec
+
+
+def gram_matrices_windowed(theta: Theta, x: jnp.ndarray, xtilde: jnp.ndarray,
+                           n_px_side: int, shared: bool,
+                           i0, j0, w: int,
+                           alpha_threshold: float = ALPHA_THRESHOLD,
+                           backend: str = "xla"):
+    """gram_matrices restricted to a static (w, w) crop window at traced
+    corner (i0, j0).  Bit-exact with the full-grid computation whenever the
+    window covers the {alpha >= threshold} mask — the cropped pixels all
+    carry zero weight.  Cuts the contraction length from n^2 to w^2 (the
+    same saving the reference's dynamic crop provides, utils.py:883-887,
+    but with jit-stable shapes)."""
+    if w >= n_px_side:
+        return gram_matrices(theta, x, xtilde, n_px_side, shared,
+                             alpha_threshold, backend)
+    dtype = x.dtype
+    xc = crop_images(x, i0, j0, w, n_px_side)
+    xtc = xc if shared else crop_images(xtilde, i0, j0, w, n_px_side)
+    xcord, ycord, lin_y, lin_x = window_coords(i0, j0, w, n_px_side, dtype)
+
+    gb = jnp.exp(theta["-2log2beta"]).astype(dtype)
+    logalpha = -gb * ((xcord - theta["eps_0x"]) ** 2 +
+                      (ycord - theta["eps_0y"]) ** 2)
+    alpha = jnp.exp(logalpha)
+    alpha_eff = jnp.where(alpha >= alpha_threshold, alpha,
+                          jnp.zeros((), dtype))
+    gr = jnp.exp(theta["-log2rho2"]).astype(dtype)
+    Sy = jnp.exp(-gr * (lin_y[:, None] - lin_y[None, :]) ** 2)
+    Sx = jnp.exp(-gr * (lin_x[:, None] - lin_x[None, :]) ** 2)
+    return _gram_core(theta, xc, xtc, alpha_eff, Sy, Sx, w, shared, backend)

@@ -165,3 +165,22 @@ def test_whole_fit_vs_per_iteration_modes():
                                   np.asarray(res_iter.track.logmarginal))
     np.testing.assert_array_equal(np.asarray(res_whole.m_b),
                                   np.asarray(res_iter.m_b))
+
+
+def test_cropped_fit_matches_full():
+    """Per-iteration fit with the static crop window active matches the
+    uncropped fit to fp roundoff."""
+    import dataclasses
+    x, r = synthetic_problem()
+    jth = {k: jnp.float64(v) for k, v in THETA0.items()}
+    jfp = {k: jnp.float64(v) for k, v in FP0.items()}
+    base = FitConfig(ntilde=x.shape[0], maxiter=4, n_estep=3, n_mstep=3,
+                     n_fparamstep=3, n_px_side=N, jit_whole_fit=False)
+    rT = fit(jnp.asarray(x), jnp.asarray(r),
+             dataclasses.replace(base, crop_window=True),
+             xtilde=jnp.asarray(x), theta=jth, f_params=jfp)
+    rF = fit(jnp.asarray(x), jnp.asarray(r),
+             dataclasses.replace(base, crop_window=False),
+             xtilde=jnp.asarray(x), theta=jth, f_params=jfp)
+    np.testing.assert_allclose(np.asarray(rT.track.logmarginal),
+                               np.asarray(rF.track.logmarginal), rtol=1e-9)

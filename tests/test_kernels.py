@@ -145,3 +145,32 @@ def test_kernel_symmetric_psd(rng):
     np.testing.assert_allclose(Kn, Kn.T, atol=1e-12)
     eig = np.linalg.eigvalsh(Kn)
     assert eig.min() > -1e-8
+
+
+def test_crop_window_exactness():
+    """A crop window covering the RF mask reproduces the full-grid kernels
+    to fp roundoff (the cropped pixels all carry zero weight)."""
+    from gaussian_processes_tpu.ops.kernels import (
+        gram_matrices, gram_matrices_windowed, crop_window_for_theta,
+        local_envelope)
+    NN = 64
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((15, NN * NN)))
+    xt = jnp.asarray(rng.standard_normal((8, NN * NN)))
+    theta = {"sigma_0": jnp.float64(1.0), "eps_0x": jnp.float64(0.15),
+             "eps_0y": jnp.float64(-0.2),
+             "-2log2beta": jnp.float64(-2 * np.log(2 * 0.08)),
+             "-log2rho2": jnp.float64(-np.log(2 * 0.04 ** 2)),
+             "Amp": jnp.float64(1.1)}
+    i0, j0, w = crop_window_for_theta(theta, NN)
+    assert w < NN
+    _, _, mask = local_envelope(theta, NN)
+    midx = np.flatnonzero(np.asarray(mask))
+    rows, cols = midx // NN, midx % NN
+    assert rows.min() >= i0 and rows.max() < i0 + w
+    assert cols.min() >= j0 and cols.max() < j0 + w
+    K1t, K1, Kv1 = gram_matrices(theta, x, xt, NN, shared=False)
+    K2t, K2, Kv2 = gram_matrices_windowed(theta, x, xt, NN, False, i0, j0, w)
+    np.testing.assert_allclose(np.asarray(K2t), np.asarray(K1t), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(K2), np.asarray(K1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Kv2), np.asarray(Kv1), atol=1e-12)
