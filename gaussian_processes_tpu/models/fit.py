@@ -106,6 +106,7 @@ class FitResult:
     track: Track
     failed: bool
     failed_at: int
+    timing: Optional[Dict[str, Any]] = None
 
     @property
     def mask(self) -> jnp.ndarray:
@@ -450,7 +451,7 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
         V: Optional[jnp.ndarray] = None,
         sample_weight: Optional[jnp.ndarray] = None,
         inducing_weight: Optional[jnp.ndarray] = None,
-        seed: int = 0) -> FitResult:
+        seed: int = 0, profile: bool = False) -> FitResult:
     """Fit the spatial GP to (x, r).  The ``varGP`` equivalent.
 
     x: (nt, nx) stimuli, r: (nt,) spike counts.  All optional arguments
@@ -511,6 +512,7 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
         # one buffer, one mask
         wt = wt if wt is not None else wi
         wi = wi if wi is not None else wt
+    timing = None
     if cfg.jit_whole_fit:
         carry = _fit_program_jit(x, r, xtilde, theta, f_params, m0, V0,
                                  has_V=has_V, shared=shared, cfg=cfg,
@@ -527,18 +529,31 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
             return dict(win_i0=jnp.asarray(i0, jnp.int32),
                         win_j0=jnp.asarray(j0, jnp.int32), win_w=w)
 
+        import time as _time
+        timing = {"per_iteration": []} if profile else None
+        t0 = _time.perf_counter()
         carry = _fit_init_jit(x, r, xtilde, theta, f_params, m0, V0,
                               has_V=has_V, shared=shared, cfg=cfg,
                               wt=wt, wi=wi, **window_args(theta))
+        if profile:
+            jax.block_until_ready(carry.m_b)
+            timing["init"] = _time.perf_counter() - t0
         for i in range(1, cfg.maxiter):
             # the window tracks theta between compiled calls (host sync of
             # a few scalars; w stays in a small set of bucketed sizes)
+            ti = _time.perf_counter()
             carry = _fit_iteration_jit(jnp.asarray(i, jnp.int32), carry,
                                        x, r, xtilde, shared=shared, cfg=cfg,
                                        bounds_static=bounds_static,
                                        wt=wt, wi=wi,
                                        **window_args(carry.theta))
+            if profile:
+                jax.block_until_ready(carry.m_b)
+                timing["per_iteration"].append(_time.perf_counter() - ti)
         carry = _fit_finalize_jit(carry, cfg=cfg)
+        if profile:
+            jax.block_until_ready(carry.m_b)
+            timing["total"] = _time.perf_counter() - t0
     kern = carry.kern
     es = kern.es
     return FitResult(
@@ -551,4 +566,5 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
         K_tilde=kern.K_tilde, K=kern.K, Kvec=kern.Kvec, K_b=kern.K_b,
         a=kern.a, track=carry.track,
         failed=bool(carry.failed), failed_at=int(carry.failed_at),
+        timing=timing if (not cfg.jit_whole_fit and profile) else None,
     )
