@@ -45,3 +45,60 @@ def estep_update(r: jnp.ndarray, a: jnp.ndarray, m_b: jnp.ndarray,
                        precision=MATMUL_PRECISION)
     V_new = 0.5 * (V_new + V_new.T)
     return m_new, V_new
+
+
+def update_f_params_newton(f_params, r, lambda_m, lambda_var,
+                           nit: int = 1000, eta: float = 0.25,
+                           tol: float = 1e-6):
+    """Legacy joint Newton update of (A, lambda0) with the explicit 2x2
+    Hessian (reference: utils.py:1339-1400 ``updateA``; superseded there and
+    here by L-BFGS-on-logA + closed-form lambda0, kept for API parity).
+
+    Operates on the raw (A, lambda0) parameterization.  Returns the updated
+    {"logA", "lambda0"} dict, the final expected log-likelihood, and the
+    final f_mean.  Runs as a fixed-iteration lax.while_loop with the same
+    convergence test on ||R||_1 as the reference.
+    """
+    import jax
+    from jax import lax
+    from .moments import mean_f_given_lambda_moments, poisson_ell
+
+    A0 = jnp.exp(f_params["logA"])
+    lam00 = f_params["lambda0"]
+    sum_r = jnp.sum(r)
+    rlm = jnp.dot(r, lambda_m)
+
+    def newton_state(A, lam0):
+        f_mean = jnp.exp(A * lambda_m + 0.5 * A * A * lambda_var + lam0)
+        d_exp = lambda_m + A * lambda_var
+        f_star = d_exp * f_mean
+        sum_f_star = jnp.sum(f_star)
+        sum_f_mean = jnp.sum(f_mean)
+        R = jnp.stack([rlm - sum_f_star, sum_r - sum_f_mean])
+        H = -jnp.asarray(
+            [[jnp.dot(lambda_var, f_mean) + jnp.dot(d_exp, f_star),
+              sum_f_star],
+             [sum_f_star, sum_f_mean]])
+        return R, H
+
+    def cond(state):
+        A, lam0, count, done = state
+        return (~done) & (count < nit)
+
+    def body(state):
+        A, lam0, count, _ = state
+        R, H = newton_state(A, lam0)
+        step = jnp.linalg.solve(H, R)
+        A_new = A - eta * step[0]
+        lam0_new = lam0 - eta * step[1]
+        done = jnp.sum(jnp.abs(R)) < tol
+        return A_new, lam0_new, count + 1, done
+
+    A, lam0, count, done = lax.while_loop(
+        cond, body, (A0, lam00, jnp.zeros((), jnp.int32),
+                     jnp.asarray(False)))
+    out = {"logA": jnp.log(jnp.maximum(A, jnp.finfo(A.dtype).tiny)),
+           "lambda0": lam0}
+    f_mean = mean_f_given_lambda_moments(out, lambda_m, lambda_var)
+    ell = poisson_ell(r, f_mean, lambda_m, out)
+    return out, ell, f_mean

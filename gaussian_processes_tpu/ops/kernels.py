@@ -281,6 +281,25 @@ def acosker(theta: Theta, x1: jnp.ndarray, x2: Optional[jnp.ndarray] = None,
     return _acos_from_quads(theta, q11, q22, q12, symmetrize=same)
 
 
+def linker(theta: Theta, x1: jnp.ndarray, x2: Optional[jnp.ndarray] = None,
+           n_px_side: int = 108, diag: bool = False,
+           alpha_threshold: float = ALPHA_THRESHOLD) -> jnp.ndarray:
+    """Linear kernel k(x1, x2) = x1^T C x2 through the localized+smooth
+    prior.  API parity with the reference's vestigial ``linker``
+    (utils.py:916-937, marked "does not work" there); here it is a working
+    but non-default kernel, sharing the Kronecker-factored quadratic forms.
+    """
+    if diag:
+        q11, _, _ = quad_forms(theta, x1, None, n_px_side, alpha_threshold)
+        return q11
+    same = x2 is None or x2 is x1
+    x2c = x1 if x2 is None else x2
+    _, _, q12 = quad_forms(theta, x1, x2c, n_px_side, alpha_threshold)
+    if same:
+        q12 = 0.5 * (q12 + q12.T) + 1e-9 * jnp.eye(q12.shape[0], dtype=q12.dtype)
+    return q12
+
+
 def gram_matrices(theta: Theta, x: jnp.ndarray, xtilde: jnp.ndarray,
                   n_px_side: int, shared: bool,
                   alpha_threshold: float = ALPHA_THRESHOLD,

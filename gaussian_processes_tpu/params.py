@@ -127,6 +127,39 @@ def generate_theta(x: jnp.ndarray, r: jnp.ndarray, n_px_side: int,
     return theta, lower, upper
 
 
+def theta_from_samuele(logsigma_b, logrho_sam, eps_0x, eps_0y, logbeta_sam,
+                       Amp=1.0, dtype=jnp.float32) -> Theta:
+    """Import hyperparameters expressed in the NumPy-ancestor ("Samuele")
+    encoding into this framework's theta (the workflow of the reference's
+    import_initialized_theta.ipynb; conversions documented in
+    Spatial_GP_repo/hyperparameters_conversion.txt:40-85):
+
+        sigma_0    = exp(logsigma_b)
+        -2log2beta = logbeta_sam - log 2
+        -log2rho2  = logrho_sam - log 2
+    """
+    return {
+        "sigma_0": jnp.asarray(math.exp(float(logsigma_b)), dtype),
+        "eps_0x": jnp.asarray(float(eps_0x), dtype),
+        "eps_0y": jnp.asarray(float(eps_0y), dtype),
+        "-2log2beta": jnp.asarray(float(logbeta_sam) - math.log(2.0), dtype),
+        "-log2rho2": jnp.asarray(float(logrho_sam) - math.log(2.0), dtype),
+        "Amp": jnp.asarray(float(Amp), dtype),
+    }
+
+
+def generate_xtilde(ntilde: int, x: jnp.ndarray, seed: int = 0) -> jnp.ndarray:
+    """Random inducing subset of x with a tiny jitter so duplicated stimuli
+    cannot make K_tilde exactly singular (reference: utils.py:705-711)."""
+    import jax
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    idx = jax.random.permutation(k1, x.shape[0])[:ntilde]
+    xt = x[idx]
+    eps = jnp.finfo(x.dtype).eps * 10
+    return xt + eps * jax.random.normal(k2, xt.shape, x.dtype)
+
+
 def default_f_params(dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
     """Firing-rate parameters {logA, lambda0}
     (reference: one_cell_fit.ipynb:cell6 — A=0.01, lambda0=1)."""

@@ -99,3 +99,17 @@ def test_active_loop_random_baseline():
     assert len(out.selected_idx) == 3
     assert all(np.isnan(u) for u in out.utilities)
     assert not out.final_fit.failed
+
+
+def test_block_matrix_inverse_rank1_growth():
+    """Sherman-Morrison block update for the grown K_tilde inverse
+    (reference: utils.py:1055-1070)."""
+    from gaussian_processes_tpu.ops.stabilize import block_matrix_inverse
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((7, 7))
+    M = A @ A.T + 7 * np.eye(7)
+    col = np.concatenate([M[:6, 6], [M[6, 6]]])
+    inv6 = np.linalg.inv(M[:6, :6])
+    grown = block_matrix_inverse(jnp.asarray(inv6), jnp.asarray(col))
+    np.testing.assert_allclose(np.asarray(grown), np.linalg.inv(M),
+                               rtol=1e-9, atol=1e-12)

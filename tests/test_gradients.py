@@ -135,3 +135,25 @@ def test_fparam_grads_analytic_vs_autodiff():
                                -float(g_analytic["logA"]), rtol=1e-10)
     np.testing.assert_allclose(float(g_auto["lambda0"]),
                                -float(g_analytic["lambda0"]), rtol=1e-10)
+
+
+def test_legacy_newton_update_reaches_stationarity():
+    """The legacy joint (A, lambda0) Newton update (reference updateA,
+    utils.py:1339-1400) drives the ELL gradient toward zero."""
+    from gaussian_processes_tpu.models.estep import update_f_params_newton
+    rng = np.random.default_rng(0)
+    lam_m = jnp.asarray(rng.standard_normal(60) * 0.8)
+    lam_v = jnp.asarray(rng.uniform(0.05, 0.2, 60))
+    # responses actually driven by lambda so the optimal gain is interior
+    r = jnp.asarray(rng.poisson(np.exp(0.9 * np.asarray(lam_m) + 0.4))
+                    .astype(float))
+    fp0 = {"logA": jnp.float64(np.log(0.5)), "lambda0": jnp.float64(0.2)}
+    out, ell, fm = update_f_params_newton(fp0, r, lam_m, lam_v, nit=2000,
+                                          eta=0.25)
+    g = ell_grad_f_params(r, fm, lam_m, lam_v, out)
+    assert abs(float(g["logA"])) < 1e-3
+    assert abs(float(g["lambda0"])) < 1e-3
+    # and it improved the likelihood over the start
+    fm0 = mean_f_given_lambda_moments(fp0, lam_m, lam_v)
+    ell0 = poisson_ell(r, fm0, lam_m, fp0)
+    assert float(ell) > float(ell0)

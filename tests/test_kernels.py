@@ -174,3 +174,17 @@ def test_crop_window_exactness():
     np.testing.assert_allclose(np.asarray(K2t), np.asarray(K1t), atol=1e-12)
     np.testing.assert_allclose(np.asarray(K2), np.asarray(K1), atol=1e-12)
     np.testing.assert_allclose(np.asarray(Kv2), np.asarray(Kv1), atol=1e-12)
+
+
+def test_linker_matches_dense(rng):
+    from gaussian_processes_tpu.ops.kernels import linker
+    theta = make_theta()
+    x = jnp.asarray(rng.standard_normal((6, N * N)))
+    C, _ = kernels.materialize_C(theta, N)
+    K = linker(theta, x, n_px_side=N)
+    ref = np.asarray(x @ C @ x.T)
+    ref = 0.5 * (ref + ref.T) + 1e-9 * np.eye(6)
+    np.testing.assert_allclose(np.asarray(K), ref, rtol=1e-10, atol=1e-14)
+    Kd = linker(theta, x, diag=True, n_px_side=N)
+    np.testing.assert_allclose(np.asarray(Kd),
+                               np.einsum("ip,pq,iq->i", x, C, x), rtol=1e-10)
