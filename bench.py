@@ -46,6 +46,15 @@ def make_data(seed=0):
 
 def main():
     import jax
+    # Persistent compilation cache: the tunnel'd remote compiler is slow
+    # (minutes per program at these shapes); cache across processes.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__) or ".",
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from gaussian_processes_tpu.config import FitConfig
     from gaussian_processes_tpu.models.fit import fit
