@@ -116,3 +116,40 @@ def test_plotting_smoke(tmp_path):
     fig2.savefig(str(tmp_path / "fit.png"))
     fig3 = plot_receptive_field(res)
     fig3.savefig(str(tmp_path / "rf.png"))
+
+
+def test_metrics_logger(tmp_path):
+    import json
+    from gaussian_processes_tpu.utils.metrics import (
+        MetricsLogger, iteration_records)
+    ds = small_ds()
+    X, R = ds.full_train()
+    cfg = FitConfig(ntilde=X.shape[0], maxiter=3, n_estep=2, n_mstep=0,
+                    n_fparamstep=2, n_px_side=12)
+    res = fit(jnp.asarray(X, jnp.float64), jnp.asarray(R[:, 0], jnp.float64),
+              cfg, xtilde=jnp.asarray(X, jnp.float64))
+    recs = iteration_records(res)
+    assert len(recs) == 3
+    assert "theta.eps_0x" in recs[0]
+    p = str(tmp_path / "metrics.jsonl")
+    with MetricsLogger(p) as ml:
+        ml.log_fit(res)
+        ml.log(event="done", r2=0.5)
+    lines = [json.loads(l) for l in open(p)]
+    assert len(lines) == 4
+    assert lines[-1]["event"] == "done"
+
+
+def test_phase_timer():
+    import time as _t
+    from gaussian_processes_tpu.utils.tracing import PhaseTimer
+    pt = PhaseTimer()
+    with pt.phase("a"):
+        _t.sleep(0.01)
+    with pt.phase("a"):
+        _t.sleep(0.01)
+    with pt.phase("b"):
+        pass
+    assert pt.counts["a"] == 2
+    assert pt.totals["a"] >= 0.02
+    assert "a" in pt.summary()
