@@ -518,12 +518,19 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
                                  has_V=has_V, shared=shared, cfg=cfg,
                                  bounds_static=bounds_static, wt=wt, wi=wi)
     else:
+        import os as _os
+        _log_win = bool(_os.environ.get("GPTPU_LOG_WINDOW"))
+
         def window_args(th):
             if not cfg.crop_window:
                 return dict(win_i0=None, win_j0=None, win_w=None)
             i0, j0, w = crop_window_for_theta(
                 {k: jnp.asarray(v) for k, v in th.items()}, cfg.n_px_side,
                 cfg.alpha_threshold, cfg.crop_margin, cfg.crop_bucket)
+            if _log_win:
+                import sys as _sys
+                print(f"[fit] crop window i0={i0} j0={j0} w={w}",
+                      file=_sys.stderr)
             if w >= cfg.n_px_side:
                 return dict(win_i0=None, win_j0=None, win_w=None)
             return dict(win_i0=jnp.asarray(i0, jnp.int32),
