@@ -35,10 +35,19 @@ ALPHA_THRESHOLD = 1.0e-3
 # (reference: Spatial_GP_repo/utils.py:984).
 COSDELTA_JITTER = 1.0e-7
 
-# Matmul precision for all kernel/Gram contractions.  HIGHEST makes the MXU
-# produce f32-accurate products (required to match the f64 reference to the
-# 1e-5 target at nx ~ 1e4 contraction lengths).
-MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+# Matmul precision for all kernel/Gram contractions.  HIGHEST (6-pass bf16
+# on the MXU) produces f32-accurate products (required to match the f64
+# reference to the 1e-5 target at nx ~ 1e4 contraction lengths).  HIGH
+# (3-pass) is ~25-40% faster at ~1e-5 median relative error; DEFAULT
+# (single-pass bf16) is fastest at ~1e-3.  Override with
+# GPTPU_MATMUL_PRECISION={default,high,highest} before import.
+import os as _os
+
+_PRECISIONS = {"default": jax.lax.Precision.DEFAULT,
+               "high": jax.lax.Precision.HIGH,
+               "highest": jax.lax.Precision.HIGHEST}
+MATMUL_PRECISION = _PRECISIONS[
+    _os.environ.get("GPTPU_MATMUL_PRECISION", "highest").lower()]
 
 
 def default_dtype() -> jnp.dtype:
