@@ -41,7 +41,7 @@ def main():
     from gaussian_processes_tpu.data import synthetic_retina
 
     ds = synthetic_retina(n_px_side=args.n_px, n_train=args.npool,
-                          n_val=0 or 10, n_test=20, n_repeats=20,
+                          n_val=10, n_test=20, n_repeats=20,
                           n_cells=3, seed=0)
     X, R_all = ds.full_train()
     R = R_all[:, args.cellid]

@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ALPHA_THRESHOLD, COSDELTA_JITTER, MATMUL_PRECISION
+from .precision import split_matmul
 
 Theta = Dict[str, jnp.ndarray]
 
@@ -125,8 +126,7 @@ def smooth_apply(S: jnp.ndarray, w: jnp.ndarray, n_px_side: int,
     if Sx is None:
         Sx = S
     imgs = w.reshape(b, n_px_side, n_px_side)
-    out = jnp.einsum("ik,bkl,lj->bij", S, imgs, Sx,
-                     precision=MATMUL_PRECISION)
+    out = split_matmul(split_matmul(S, imgs), Sx)
     return out.reshape(b, n_px_side * n_px_side)
 
 
@@ -344,7 +344,7 @@ def _gram_core(theta: Theta, x, xtilde, alpha_eff, Sy, Sx, side: int,
                                    sigma0, interpret=interp).astype(dtype)
         K_tilde = 0.5 * (K_tilde + K_tilde.T)
     else:
-        qtt = amp * jnp.matmul(ut, st.T, precision=MATMUL_PRECISION)
+        qtt = amp * split_matmul(ut, st.T)
         K_tilde = _acos_from_quads(theta, qtt_diag, qtt_diag, qtt,
                                    symmetrize=True)
 
@@ -360,7 +360,7 @@ def _gram_core(theta: Theta, x, xtilde, alpha_eff, Sy, Sx, side: int,
         K = acos_gram_pallas(u * amp, st.T, q_diag, qtt_diag, sigma0,
                              interpret=_use_interpret()).astype(dtype)
     else:
-        q = amp * jnp.matmul(u, st.T, precision=MATMUL_PRECISION)
+        q = amp * split_matmul(u, st.T)
         K = _acos_from_quads(theta, q_diag, qtt_diag, q, symmetrize=False)
     Kvec = q_diag + sigma0 * sigma0
     return K_tilde, K, Kvec
