@@ -1,0 +1,75 @@
+"""Acquisition-scoring benchmark.
+
+Reference baseline: ~0.02 s to score ~2100 candidates (lambda-moments +
+utility, with a host SciPy Lambert-W round-trip) on the lab GPU
+(one_cell_active_training.ipynb:cell13).  Here the whole scorer is one
+compiled program on device.
+
+Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASELINE_SECONDS = 0.02
+NSTAR = 2100
+NTILDE = 300
+N_PX = 108
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    import jax.numpy as jnp
+    from gaussian_processes_tpu.models.acquisition import score_candidates
+    from gaussian_processes_tpu.ops.kernels import gram_matrices
+    from gaussian_processes_tpu.ops.stabilize import compute_eigenspace
+
+    rng = np.random.default_rng(0)
+    xstar = jnp.asarray(rng.standard_normal((NSTAR, N_PX * N_PX)), jnp.float32)
+    xtilde = jnp.asarray(rng.standard_normal((NTILDE, N_PX * N_PX)),
+                         jnp.float32)
+    theta = {k: jnp.float32(v) for k, v in [
+        ("sigma_0", 1.0), ("eps_0x", 1e-4), ("eps_0y", 1e-4),
+        ("-2log2beta", -2 * np.log(0.2)), ("-log2rho2", -np.log(0.02)),
+        ("Amp", 1.0)]}
+    f_params = {"logA": jnp.float32(np.log(0.05)),
+                "lambda0": jnp.float32(0.3)}
+    K_tilde, _, _ = gram_matrices(theta, xtilde, xtilde, N_PX, shared=True)
+    es = compute_eigenspace(K_tilde)
+    m_b = jnp.zeros(NTILDE, jnp.float32)
+    V_b = jnp.diag(es.k_tilde_b_diag)
+
+    def run():
+        u, best = score_candidates(xstar, xtilde, theta, f_params, m_b, V_b,
+                                   es.B, es.k_tilde_inv_diag,
+                                   n_px_side=N_PX)
+        jax.block_until_ready(u)
+        return u, best
+
+    run()                      # compile
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        u, best = run()
+    elapsed = (time.perf_counter() - t0) / n
+
+    ok = bool(np.all(np.isfinite(np.asarray(u))))
+    print(json.dumps({
+        "metric": "acquisition_score_2100_candidates",
+        "value": round(elapsed * 1000, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_SECONDS / elapsed, 2) if ok else 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Active-loop refit benchmark.
+
+Reference baseline: ~1.0-1.3 s per warm-started refit at ntilde=50..300,
+maxiter=10 (one_cell_active_training.ipynb:cell9/cell17), with every round
+recompiling nothing but re-running eager torch at a new shape.  Here one
+compiled fixed-capacity program serves every round.
+
+Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASELINE_SECONDS = 1.15       # midpoint of the reference's 1.0-1.3 s
+CAPACITY = 300
+N_ACTIVE = 250
+N_PX = 108
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    import jax.numpy as jnp
+    from gaussian_processes_tpu.config import FitConfig
+    from gaussian_processes_tpu.models.fit import fit
+
+    rng = np.random.default_rng(0)
+    x_buf = rng.standard_normal((CAPACITY, N_PX * N_PX)).astype(np.float32)
+    lin = np.linspace(-1, 1, N_PX)
+    yy, xx = np.meshgrid(lin, lin, indexing="ij")
+    w = np.exp(-(xx ** 2 + yy ** 2) / (2 * 0.1 ** 2)).ravel()
+    w /= np.linalg.norm(w)
+    r_buf = rng.poisson(np.exp(0.8 * x_buf @ w)).astype(np.float32)
+    mask = (np.arange(CAPACITY) < N_ACTIVE).astype(np.float32)
+
+    theta = {k: jnp.float32(v) for k, v in [
+        ("sigma_0", 1.0), ("eps_0x", 1e-4), ("eps_0y", 1e-4),
+        ("-2log2beta", -2 * np.log(0.2)), ("-log2rho2", -np.log(0.02)),
+        ("Amp", 1.0)]}
+    fp = {"logA": jnp.float32(np.log(0.01)), "lambda0": jnp.float32(1.0)}
+    cfg = FitConfig(ntilde=CAPACITY, maxiter=10, n_estep=5, n_mstep=5,
+                    n_fparamstep=5, n_px_side=N_PX, track_variational=False,
+                    jit_whole_fit=False)
+
+    def run():
+        res = fit(jnp.asarray(x_buf), jnp.asarray(r_buf), cfg,
+                  xtilde=jnp.asarray(x_buf), theta=theta, f_params=fp,
+                  sample_weight=jnp.asarray(mask))
+        jax.block_until_ready(res.m_b)
+        return res
+
+    res = run()                # compile
+    t0 = time.perf_counter()
+    n = 3
+    for _ in range(n):
+        res = run()
+    elapsed = (time.perf_counter() - t0) / n
+
+    ok = not res.failed
+    print(json.dumps({
+        "metric": "active_loop_refit_ntilde300",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / elapsed, 2) if ok else 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()
