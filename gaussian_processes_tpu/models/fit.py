@@ -32,6 +32,7 @@ from jax import lax
 from ..config import FitConfig, MATMUL_PRECISION
 from ..ops.kernels import (crop_window_for_theta, gram_matrices,
                            gram_matrices_windowed, local_envelope)
+from ..ops.precision import split_matmul
 from ..ops.stabilize import (Eigenspace, compute_eigenspace, masked_inverse,
                              project_gram, reproject)
 from ..optim.lbfgs import lbfgs_minimize
@@ -226,14 +227,11 @@ def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
     K_tilde, K, Kvec = _masked_grams(theta_c, x, xtilde, shared, cfg, wt, wi,
                                      win)
     B = es.B
-    K_tilde_b = jnp.matmul(B.T, jnp.matmul(K_tilde, B,
-                                           precision=MATMUL_PRECISION),
-                           precision=MATMUL_PRECISION)
+    K_tilde_b = split_matmul(B.T, split_matmul(K_tilde, B))
     K_tilde_b = 0.5 * (K_tilde_b + K_tilde_b.T)
-    K_b = jnp.matmul(K, B, precision=MATMUL_PRECISION)
+    K_b = split_matmul(K, B)
     K_tilde_inv_b = masked_inverse(K_tilde_b, es.keep)
-    a = B if shared else jnp.matmul(K_b, K_tilde_inv_b,
-                                    precision=MATMUL_PRECISION)
+    a = B if shared else split_matmul(K_b, K_tilde_inv_b)
 
     lambda_m, lambda_var = lambda_moments(a, K_b, Kvec, m_b, V_b)
     f_mean = mean_f_given_lambda_moments(f_params, lambda_m, lambda_var)

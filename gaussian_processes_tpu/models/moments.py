@@ -14,6 +14,7 @@ from typing import Dict, Tuple
 import jax.numpy as jnp
 
 from ..config import MATMUL_PRECISION
+from ..ops.precision import split_matmul
 from ..ops.stabilize import Eigenspace, logdet_with_fallback
 
 FParams = Dict[str, jnp.ndarray]
@@ -29,7 +30,7 @@ def lambda_moments(a: jnp.ndarray, K_b: jnp.ndarray, Kvec: jnp.ndarray,
     axis=1)  (reference: utils.py:1072-1124).
     """
     lambda_m = jnp.matmul(a, m_b, precision=MATMUL_PRECISION)
-    aV = jnp.matmul(a, V_b, precision=MATMUL_PRECISION)
+    aV = split_matmul(a, V_b)
     lambda_var = Kvec + jnp.sum(-K_b * a + a * aV, axis=1)
     return lambda_m, lambda_var
 
@@ -112,8 +113,7 @@ def kl_divergence(m_b: jnp.ndarray, V_b: jnp.ndarray, es: Eigenspace,
     else:
         b = jnp.matmul(K_tilde_inv_b, m_b, precision=MATMUL_PRECISION)
         quad = jnp.dot(m_b, b)
-        tr = jnp.trace(jnp.matmul(V_b, K_tilde_inv_b,
-                                  precision=MATMUL_PRECISION))
+        tr = jnp.trace(split_matmul(V_b, K_tilde_inv_b))
         logdet_K = logdet_with_fallback(K_tilde_b, keep)
 
     logdet_V = logdet_with_fallback(V_b, keep)

@@ -29,8 +29,10 @@ GRAD_PRECISION = _PRECISIONS[
 @jax.custom_vjp
 def split_matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """matmul(a, b) with forward at MATMUL_PRECISION and backward at
-    GRAD_PRECISION.  Supports batched operands via jnp.matmul
-    broadcasting."""
+    GRAD_PRECISION.  Operands must be >= 2-D (batched broadcasting
+    supported); use plain jnp.matmul for matrix-vector products — their
+    backward is quadratic-cost anyway."""
+    assert a.ndim >= 2 and b.ndim >= 2, "split_matmul requires >=2-D operands"
     return jnp.matmul(a, b, precision=MATMUL_PRECISION)
 
 
