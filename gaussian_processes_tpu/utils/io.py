@@ -98,3 +98,70 @@ def load_model(directory: str):
     if isinstance(track, dict):
         track = Track(**track)
     return FitResult(config=cfg, track=track, **payload)
+
+
+# ---------------------------------------------------------------------------
+# Orbax checkpointing (TPU-native, async-capable, multi-host-safe)
+# ---------------------------------------------------------------------------
+
+def save_model_orbax(result, directory: str,
+                     additional_description: str = None):
+    """Save via orbax-checkpoint: the array pytree goes through Orbax's
+    sharded/async-capable writer (the idiomatic TPU checkpoint path); config
+    and metadata ride alongside as JSON/text."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    if os.path.exists(directory):
+        raise ValueError(f"Directory {directory} already exists")
+    os.makedirs(directory)
+    directory = os.path.abspath(directory)
+
+    description = describe(result)
+    if additional_description:
+        description += f"\n\n{additional_description}"
+
+    payload = dataclasses.asdict(result)
+    cfg_dict = payload.pop("config")
+    payload.pop("timing", None)
+    arrays = {k: v for k, v in payload.items()
+              if k not in ("theta_lower", "theta_upper", "failed",
+                           "failed_at")}
+    scalars = {"failed": bool(payload["failed"]),
+               "failed_at": int(payload["failed_at"]),
+               "theta_lower": payload["theta_lower"],
+               "theta_upper": payload["theta_upper"],
+               "config": cfg_dict}
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(directory, "arrays"), arrays)
+    with open(os.path.join(directory, "meta.json"), "w") as f:
+        json.dump(scalars, f)
+    with open(os.path.join(directory, "metadata"), "w") as f:
+        f.write(description)
+    return description
+
+
+def load_model_orbax(directory: str):
+    """Load a FitResult saved by save_model_orbax."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    from ..models.fit import FitResult, Track
+
+    directory = os.path.abspath(directory)
+    with ocp.StandardCheckpointer() as ckptr:
+        arrays = ckptr.restore(os.path.join(directory, "arrays"))
+    with open(os.path.join(directory, "meta.json")) as f:
+        scalars = json.load(f)
+    cfg = FitConfig(**scalars["config"])
+    track = arrays.pop("track")
+    if isinstance(track, dict):
+        track = Track(**track)
+    return FitResult(config=cfg, track=track,
+                     theta_lower=scalars["theta_lower"],
+                     theta_upper=scalars["theta_upper"],
+                     failed=scalars["failed"],
+                     failed_at=scalars["failed_at"], **arrays)

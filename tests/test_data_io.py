@@ -153,3 +153,25 @@ def test_phase_timer():
     assert pt.counts["a"] == 2
     assert pt.totals["a"] >= 0.02
     assert "a" in pt.summary()
+
+
+def test_orbax_roundtrip(tmp_path):
+    from gaussian_processes_tpu.utils.io import (save_model_orbax,
+                                                 load_model_orbax)
+    ds = small_ds()
+    X, R = ds.full_train()
+    cfg = FitConfig(ntilde=X.shape[0], maxiter=3, n_estep=2, n_mstep=2,
+                    n_fparamstep=3, n_px_side=12)
+    res = fit(jnp.asarray(X, jnp.float64), jnp.asarray(R[:, 0], jnp.float64),
+              cfg, xtilde=jnp.asarray(X, jnp.float64))
+    d = str(tmp_path / "orbax_model")
+    save_model_orbax(res, d)
+    loaded = load_model_orbax(d)
+    np.testing.assert_allclose(np.asarray(loaded.m_b), np.asarray(res.m_b))
+    np.testing.assert_allclose(np.asarray(loaded.V_b), np.asarray(res.V_b))
+    assert loaded.config.maxiter == 3
+    from gaussian_processes_tpu.models.inference import predict
+    xs = jnp.asarray(np.asarray(ds.images_test).reshape(6, -1), jnp.float64)
+    r1, _, _ = predict(res, xs)
+    r2, _, _ = predict(loaded, xs)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-12)
