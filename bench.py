@@ -100,6 +100,25 @@ def main():
 
     loss = np.asarray(res.track.logmarginal)
     ok = bool(np.all(np.isfinite(loss))) and not res.failed
+
+    # quality check on held-out repeated responses from the same planted RF
+    try:
+        from gaussian_processes_tpu.models.inference import evaluate
+        rng = np.random.default_rng(1)
+        lin = np.linspace(-1, 1, N_PX)
+        yy, xx = np.meshgrid(lin, lin, indexing="ij")
+        w = np.exp(-((xx - 0.1) ** 2 + (yy + 0.2) ** 2) / (2 * 0.1 ** 2)).ravel()
+        w = (w / np.linalg.norm(w)).astype(np.float32)
+        Xt = rng.standard_normal((30, N_PX * N_PX)).astype(np.float32)
+        lam_t = np.exp(0.8 * Xt @ w)
+        Rt = rng.poisson(lam_t[None, :].repeat(30, 0)).astype(np.float32)
+        _, _, r2, s2 = evaluate(res, jnp.asarray(Xt), jnp.asarray(Rt),
+                                nbootstrap=200)
+        print(f"[bench] loss {-loss[0]:.1f} -> {-loss[-1]:.1f}; "
+              f"held-out r2 = {float(r2):.3f} +/- {float(s2):.3f}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] quality check failed: {e}", file=sys.stderr)
     value = elapsed if ok else float("inf")
     print(json.dumps({
         "metric": "one_cell_fit_wallclock",
