@@ -184,3 +184,21 @@ def test_cropped_fit_matches_full():
              xtilde=jnp.asarray(x), theta=jth, f_params=jfp)
     np.testing.assert_allclose(np.asarray(rT.track.logmarginal),
                                np.asarray(rF.track.logmarginal), rtol=1e-9)
+
+
+def test_golden_regression_values():
+    """Seeded end-to-end regression: stored f64 CPU golden values (the
+    framework's own analog of the reference's stored loss trajectory,
+    one_cell_fit.ipynb:cell8).  Catches unintended numerics changes when the
+    reference checkout is unavailable."""
+    x, r = synthetic_problem()
+    res = run_ours(x, r, maxiter=5, ne=4, nm=4, nf=4)
+    golden_logmarginal = [-68.91680022988277, -49.870041748165264,
+                          -49.12966442850579, -48.915647433567514,
+                          -48.713058665629376]
+    np.testing.assert_allclose(np.asarray(res.track.logmarginal),
+                               golden_logmarginal, rtol=1e-6)
+    assert float(res.f_params["logA"]) == pytest.approx(-2.2056138421948512,
+                                                        rel=1e-5)
+    assert float(res.theta["-2log2beta"]) == pytest.approx(
+        0.922272644324383, rel=1e-4)
