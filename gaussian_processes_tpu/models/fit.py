@@ -236,8 +236,10 @@ def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
     lambda_m, lambda_var = lambda_moments(a, K_b, Kvec, m_b, V_b)
     f_mean = mean_f_given_lambda_moments(f_params, lambda_m, lambda_var)
     ell = poisson_ell(r, f_mean, lambda_m, f_params, weight=wt)
+    # log|V| is constant in theta: omit it (pure offset; saves an O(n^3)
+    # factorization per line-search evaluation)
     kl = kl_divergence(m_b, V_b, es, K_tilde_b=K_tilde_b,
-                       K_tilde_inv_b=K_tilde_inv_b)
+                       K_tilde_inv_b=K_tilde_inv_b, skip_logdet_V=True)
     loss = -(ell - kl)
     return jnp.where(ok, loss, jnp.inf)
 

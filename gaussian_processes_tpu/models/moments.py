@@ -91,7 +91,8 @@ def ell_grad_f_params(r: jnp.ndarray, f_mean: jnp.ndarray,
 
 def kl_divergence(m_b: jnp.ndarray, V_b: jnp.ndarray, es: Eigenspace,
                   K_tilde_b: jnp.ndarray = None,
-                  K_tilde_inv_b: jnp.ndarray = None) -> jnp.ndarray:
+                  K_tilde_inv_b: jnp.ndarray = None,
+                  skip_logdet_V: bool = False) -> jnp.ndarray:
     """KL(q(lambda_tilde) || p) in the stabilized basis
     (reference: utils.py:1306-1337):
 
@@ -101,6 +102,10 @@ def kl_divergence(m_b: jnp.ndarray, V_b: jnp.ndarray, es: Eigenspace,
     With the E-step basis, K_tilde_b is diagonal (kept eigenvalues); during
     the M-step a dense re-projected ``K_tilde_b``/``K_tilde_inv_b`` pair is
     supplied instead.
+
+    ``skip_logdet_V=True`` drops the -1/2 log|V| term — constant in theta, so
+    the M-step objective omits it (one fewer O(n^3) factorization per
+    line-search evaluation; the reported KL track always includes it).
     """
     keep = es.keep
     if K_tilde_inv_b is None:
@@ -116,6 +121,8 @@ def kl_divergence(m_b: jnp.ndarray, V_b: jnp.ndarray, es: Eigenspace,
         tr = jnp.trace(split_matmul(V_b, K_tilde_inv_b))
         logdet_K = logdet_with_fallback(K_tilde_b, keep)
 
+    if skip_logdet_V:
+        return 0.5 * logdet_K + 0.5 * quad + 0.5 * tr
     logdet_V = logdet_with_fallback(V_b, keep)
     return -0.5 * logdet_V + 0.5 * logdet_K + 0.5 * quad + 0.5 * tr
 
