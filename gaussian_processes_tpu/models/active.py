@@ -43,7 +43,10 @@ class ActiveLoopResult:
 
 def _test_loglikelihood(res: FitResult, X_ll, R_ll) -> float:
     """Held-out expected log-likelihood (the reference's fixed-1000-image
-    track, one_cell_active_training.ipynb:cell17)."""
+    track, one_cell_active_training.ipynb:cell17).  The reference overlaps
+    this evaluation with the refit via a host thread (cell19); here JAX's
+    async dispatch provides the same overlap for free — the computation is
+    enqueued and only synchronized when the float is read."""
     from ..ops.kernels import gram_matrices
     _, K_t, Kvec_t = gram_matrices(res.theta, X_ll, res.xtilde,
                                    res.config.n_px_side, shared=False,
@@ -169,3 +172,25 @@ def active_loop(X_pool, R_pool, start_idx, n_add: int,
                                                   np.asarray(selected,
                                                              int)]),
     )
+
+
+def ab_experiment(X_pool, R_pool, n_start: int, n_add: int, seeds,
+                  cfg: Optional[FitConfig] = None, **loop_kwargs):
+    """Active-vs-random A/B control from identical starting models across
+    seeds (the reference's scientific control,
+    one_cell_active_training.ipynb:cell19/cell23, run over 8 seeds there).
+
+    Each seed draws a fresh random starting set; both arms share it.
+    Returns {"active": [ActiveLoopResult...], "random": [...]} in seed
+    order.
+    """
+    npool = np.asarray(X_pool).shape[0]
+    out = {"active": [], "random": []}
+    for seed in seeds:
+        rng = np.random.default_rng(seed)
+        start_idx = rng.permutation(npool)[:n_start]
+        for arm, select in (("active", "utility"), ("random", "random")):
+            out[arm].append(active_loop(
+                X_pool, R_pool, start_idx=start_idx, n_add=n_add, cfg=cfg,
+                select=select, seed=seed, **loop_kwargs))
+    return out

@@ -113,3 +113,18 @@ def test_block_matrix_inverse_rank1_growth():
     grown = block_matrix_inverse(jnp.asarray(inv6), jnp.asarray(col))
     np.testing.assert_allclose(np.asarray(grown), np.linalg.inv(M),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_ab_experiment():
+    from gaussian_processes_tpu.models.active import ab_experiment
+    X, R, _, _ = make_pool(npool=40)
+    cfg = FitConfig(maxiter=2, n_estep=2, n_mstep=0, n_fparamstep=2,
+                    n_px_side=N, track_variational=False)
+    out = ab_experiment(X, R, n_start=8, n_add=2, seeds=[0, 1], cfg=cfg,
+                        theta={k: jnp.float64(v) for k, v in THETA0.items()},
+                        f_params={k: jnp.float64(v) for k, v in FP0.items()})
+    assert len(out["active"]) == 2 and len(out["random"]) == 2
+    # both arms share the starting set per seed
+    a0 = set(out["active"][0].in_use_idx[:8])
+    r0 = set(out["random"][0].in_use_idx[:8])
+    assert a0 == r0
