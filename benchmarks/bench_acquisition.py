@@ -52,8 +52,10 @@ def main():
         u, best = score_candidates(xstar, xtilde, theta, f_params, m_b, V_b,
                                    es.B, es.k_tilde_inv_diag,
                                    n_px_side=N_PX)
-        jax.block_until_ready(u)
-        return u, best
+        # force full materialization (block_until_ready is unreliable
+        # through the axon tunnel)
+        u = np.asarray(u)
+        return u, int(best)
 
     run()                      # compile
     t0 = time.perf_counter()

@@ -46,15 +46,19 @@ def main():
         ("-2log2beta", -2 * np.log(0.2)), ("-log2rho2", -np.log(0.02)),
         ("Amp", 1.0)]}
     fp = {"logA": jnp.float32(np.log(0.01)), "lambda0": jnp.float32(1.0)}
+    # whole-fit compilation: at this scale the program is small, and the
+    # active loop reuses it for hundreds of refits — one dispatch per refit
+    # instead of one per EM iteration (the tunnel round-trip dominates
+    # small-problem per-iteration mode)
     cfg = FitConfig(ntilde=CAPACITY, maxiter=10, n_estep=5, n_mstep=5,
                     n_fparamstep=5, n_px_side=N_PX, track_variational=False,
-                    jit_whole_fit=False)
+                    jit_whole_fit=True)
 
     def run():
         res = fit(jnp.asarray(x_buf), jnp.asarray(r_buf), cfg,
                   xtilde=jnp.asarray(x_buf), theta=theta, f_params=fp,
                   sample_weight=jnp.asarray(mask))
-        jax.block_until_ready(res.m_b)
+        np.asarray(res.m_b)   # force materialization through the tunnel
         return res
 
     res = run()                # compile

@@ -43,14 +43,16 @@ def main():
     for backend in ("xla", "pallas"):
         fn = jax.jit(partial(gram_matrices, n_px_side=N_PX, shared=False,
                              backend=backend))
+        def force(o):
+            return sum(float(jnp.sum(t)) for t in o)
         try:
             out = fn(theta, X, xtilde)
-            jax.block_until_ready(out)
+            force(out)
             t0 = time.perf_counter()
             n = 5
             for _ in range(n):
                 out = fn(theta, X, xtilde)
-                jax.block_until_ready(out)
+                force(out)
             dt = (time.perf_counter() - t0) / n
             results[backend] = (dt, flops / dt / 1e12)
             print(f"{backend}: {dt*1000:.1f} ms  {flops/dt/1e12:.1f} TFLOP/s",

@@ -151,9 +151,12 @@ def crop_window_for_theta(theta: Theta, n_px_side: int,
     the RF covers most of the grid (no crop benefit).
     """
     import math as _math
-    gb = float(jnp.exp(theta["-2log2beta"]))
-    eps_x = float(theta["eps_0x"])
-    eps_y = float(theta["eps_0y"])
+    import jax as _jax
+    # one batched transfer instead of three (device->host latency through
+    # the TPU tunnel is tens of ms per sync)
+    lb, eps_x, eps_y = (float(v) for v in _jax.device_get(
+        (theta["-2log2beta"], theta["eps_0x"], theta["eps_0y"])))
+    gb = _math.exp(lb)
     # alpha >= t  <=>  d^2 <= ln(1/t) / gb
     radius = _math.sqrt(max(_math.log(1.0 / alpha_threshold) / max(gb, 1e-12),
                             0.0)) * margin
