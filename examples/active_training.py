@@ -54,7 +54,7 @@ def main():
     fp0 = {"logA": np.log(0.01), "lambda0": 1.0}
     cfg = FitConfig(maxiter=args.maxiter, n_estep=5, n_mstep=3,
                     n_fparamstep=5, n_px_side=args.n_px,
-                    track_variational=False, jit_whole_fit=False)
+                    track_variational=False, jit_whole_fit=True)
 
     for seed in range(args.seeds):
         rng = np.random.default_rng(seed)
