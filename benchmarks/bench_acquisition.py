@@ -30,7 +30,8 @@ def main():
                           os.path.abspath(__file__))), ".jax_cache"))
     import jax.numpy as jnp
     from gaussian_processes_tpu.models.acquisition import score_candidates
-    from gaussian_processes_tpu.ops.kernels import gram_matrices
+    from gaussian_processes_tpu.ops.kernels import (gram_matrices,
+                                                    crop_window_for_theta)
     from gaussian_processes_tpu.ops.stabilize import compute_eigenspace
 
     rng = np.random.default_rng(0)
@@ -48,10 +49,15 @@ def main():
     m_b = jnp.zeros(NTILDE, jnp.float32)
     V_b = jnp.diag(es.k_tilde_b_diag)
 
+    i0, j0, w = crop_window_for_theta(theta, N_PX)
+    win = {} if w >= N_PX else dict(win_i0=jnp.asarray(i0, jnp.int32),
+                                    win_j0=jnp.asarray(j0, jnp.int32),
+                                    win_w=w)
+
     def run():
         u, best = score_candidates(xstar, xtilde, theta, f_params, m_b, V_b,
                                    es.B, es.k_tilde_inv_diag,
-                                   n_px_side=N_PX)
+                                   n_px_side=N_PX, **win)
         # force full materialization (block_until_ready is unreliable
         # through the axon tunnel)
         u = np.asarray(u)

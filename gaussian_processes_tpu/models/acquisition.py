@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
 from ..config import MATMUL_PRECISION
-from ..ops.kernels import gram_matrices
+from ..ops.kernels import gram_matrices, gram_matrices_windowed
 from ..ops.lambertw import lambertw
 from .moments import lambda_moments
 
@@ -80,14 +80,16 @@ def utility(sigma2, mu, r_cutoff: int = 100) -> jnp.ndarray:
     return nd_utility(jnp.atleast_1d(sigma2), jnp.atleast_1d(mu), r_cutoff)[0]
 
 
-@partial(jax.jit, static_argnames=("n_px_side", "alpha_threshold", "r_cutoff"))
+@partial(jax.jit, static_argnames=("n_px_side", "alpha_threshold",
+                                   "r_cutoff", "win_w"))
 def score_candidates(xstar: jnp.ndarray, xtilde: jnp.ndarray,
                      theta: Dict[str, jnp.ndarray],
                      f_params: Dict[str, jnp.ndarray],
                      m_b: jnp.ndarray, V_b: jnp.ndarray, B: jnp.ndarray,
                      k_tilde_inv_diag: jnp.ndarray,
                      n_px_side: int = 108, alpha_threshold: float = 1e-3,
-                     r_cutoff: int = 100):
+                     r_cutoff: int = 100,
+                     win_i0=None, win_j0=None, win_w: int = None):
     """Utility of every candidate stimulus in one compiled program
     (the reference's acquisition region,
     one_cell_active_training.ipynb:cell17): posterior lambda-moments for all
@@ -96,9 +98,14 @@ def score_candidates(xstar: jnp.ndarray, xtilde: jnp.ndarray,
 
     Returns (utilities, best_index).
     """
-    _, K_star, Kvec_star = gram_matrices(theta, xstar, xtilde, n_px_side,
-                                         shared=False,
-                                         alpha_threshold=alpha_threshold)
+    if win_w is not None:
+        _, K_star, Kvec_star = gram_matrices_windowed(
+            theta, xstar, xtilde, n_px_side, False, win_i0, win_j0, win_w,
+            alpha_threshold)
+    else:
+        _, K_star, Kvec_star = gram_matrices(theta, xstar, xtilde, n_px_side,
+                                             shared=False,
+                                             alpha_threshold=alpha_threshold)
     K_star_b = jnp.matmul(K_star, B, precision=MATMUL_PRECISION)
     a_star = K_star_b * k_tilde_inv_diag[None, :]
     lam_m, lam_var = lambda_moments(a_star, K_star_b, Kvec_star, m_b, V_b)

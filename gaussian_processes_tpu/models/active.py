@@ -132,11 +132,20 @@ def active_loop(X_pool, R_pool, start_idx, n_add: int,
 
         # ---- score remaining candidates and select ----
         if select == "utility":
+            from ..ops.kernels import crop_window_for_theta
+            wi0, wj0, ww = crop_window_for_theta(
+                res.theta, cfg.n_px_side, cfg.alpha_threshold,
+                cfg.crop_margin, cfg.crop_bucket) if cfg.crop_window else \
+                (0, 0, cfg.n_px_side)
+            win = {} if ww >= cfg.n_px_side else dict(
+                win_i0=jnp.asarray(wi0, jnp.int32),
+                win_j0=jnp.asarray(wj0, jnp.int32), win_w=ww)
             u, _ = score_candidates(
                 X_pool, res.xtilde, res.theta, res.f_params, res.m_b,
                 res.V_b, res.B, res.k_tilde_inv_diag,
                 n_px_side=cfg.n_px_side,
-                alpha_threshold=cfg.alpha_threshold, r_cutoff=r_cutoff)
+                alpha_threshold=cfg.alpha_threshold, r_cutoff=r_cutoff,
+                **win)
             u = np.array(u)
             u[used] = -np.inf
             best = int(np.argmax(u))

@@ -411,21 +411,26 @@ def _fit_finalize(c: Carry, cfg: FitConfig) -> Carry:
 
 def _fit_program(x, r, xtilde, theta0: Theta, f_params0: FParams,
                  m0, V0, has_V: bool, shared: bool, cfg: FitConfig,
-                 bounds_static, wt=None, wi=None):
-    """The whole EM fit as ONE program (init + fori_loop + finalize)."""
+                 bounds_static, wt=None, wi=None,
+                 win_i0=None, win_j0=None, win_w=None):
+    """The whole EM fit as ONE program (init + fori_loop + finalize).
+    The optional crop window is FIXED for the whole program (computed from
+    the initial theta with an enlarged margin); fit() checks post hoc that
+    the final RF mask stayed inside it."""
     carry = _fit_init(x, r, xtilde, theta0, f_params0, m0, V0, has_V,
-                      shared, cfg, wt, wi)
+                      shared, cfg, wt, wi, win_i0, win_j0, win_w)
     carry = lax.fori_loop(
         1, cfg.maxiter,
         lambda i, c: _fit_iteration(i, c, x, r, xtilde, shared, cfg,
-                                    bounds_static, wt, wi),
+                                    bounds_static, wt, wi,
+                                    win_i0, win_j0, win_w),
         carry)
     return _fit_finalize(carry, cfg)
 
 
 _fit_program_jit = jax.jit(
     _fit_program,
-    static_argnames=("has_V", "shared", "cfg", "bounds_static"))
+    static_argnames=("has_V", "shared", "cfg", "bounds_static", "win_w"))
 
 # Per-iteration compilation: the same math as _fit_program but driven by a
 # host loop — three small programs instead of one maxiter-times-unrolled HLO.
@@ -514,9 +519,34 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
         wi = wi if wi is not None else wt
     timing = None
     if cfg.jit_whole_fit:
+        # fixed crop window from the initial theta (doubled margin); checked
+        # against the final mask below
+        wf_win = dict(win_i0=None, win_j0=None, win_w=None)
+        if cfg.crop_window:
+            i0, j0, w = crop_window_for_theta(
+                theta, cfg.n_px_side, cfg.alpha_threshold,
+                cfg.crop_margin * 2.0, cfg.crop_bucket)
+            if w < cfg.n_px_side:
+                wf_win = dict(win_i0=jnp.asarray(i0, jnp.int32),
+                              win_j0=jnp.asarray(j0, jnp.int32), win_w=w)
         carry = _fit_program_jit(x, r, xtilde, theta, f_params, m0, V0,
                                  has_V=has_V, shared=shared, cfg=cfg,
-                                 bounds_static=bounds_static, wt=wt, wi=wi)
+                                 bounds_static=bounds_static, wt=wt, wi=wi,
+                                 **wf_win)
+        if wf_win["win_w"] is not None:
+            fi0, fj0, fw = crop_window_for_theta(
+                carry.theta, cfg.n_px_side, cfg.alpha_threshold,
+                1.0, 1)
+            w0 = wf_win["win_w"]
+            i0v = int(wf_win["win_i0"]); j0v = int(wf_win["win_j0"])
+            if not (fi0 >= i0v and fj0 >= j0v
+                    and fi0 + fw <= i0v + w0 and fj0 + fw <= j0v + w0):
+                import warnings as _warnings
+                _warnings.warn(
+                    "RF mask outgrew the fixed crop window during a "
+                    "whole-fit run; rerun with jit_whole_fit=False "
+                    "(tracking window) or crop_window=False for exact "
+                    "results")
     else:
         import os as _os
         _log_win = bool(_os.environ.get("GPTPU_LOG_WINDOW"))
