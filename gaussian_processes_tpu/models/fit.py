@@ -525,7 +525,7 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
         if cfg.crop_window:
             i0, j0, w = crop_window_for_theta(
                 theta, cfg.n_px_side, cfg.alpha_threshold,
-                cfg.crop_margin * 2.0, cfg.crop_bucket)
+                cfg.crop_margin * 1.5, cfg.crop_bucket)
             if w < cfg.n_px_side:
                 wf_win = dict(win_i0=jnp.asarray(i0, jnp.int32),
                               win_j0=jnp.asarray(j0, jnp.int32), win_w=w)
