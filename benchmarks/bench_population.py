@@ -21,9 +21,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("GPTPU_GRAD_PRECISION", "default")
 
-NCELLS = 8
+# Sized for a single v5e chip (16 GB HBM): 8 cells x ntilde=1024 vmapped
+# crashed the worker; 4 x 512 is comfortable.  A pod slice scales the cell
+# axis across chips instead.
+NCELLS = 4
 NT = 3160
-NTILDE = 1024
+NTILDE = 512
 N_PX = 108
 MAXITER, NE, NM, NF = 6, 10, 10, 10
 
