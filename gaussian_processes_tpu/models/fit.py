@@ -314,35 +314,38 @@ def _fit_init(x, r, xtilde, theta0: Theta, f_params0: FParams, m0, V0,
 
 def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
                    bounds_static, wt=None, wi=None,
-                   win_i0=None, win_j0=None, win_w=None) -> Carry:
+                   win_i0=None, win_j0=None, win_w=None,
+                   do_mstep: bool = True) -> Carry:
     """One EM iteration (reference loop body: utils.py:1794-2125), a no-op
-    once the carry is marked failed."""
+    once the carry is marked failed.
+
+    Branch-free by design: under vmap (population fits) a lax.cond lowers to
+    executing BOTH branches for every lane, so the kernel rebuild runs
+    unconditionally (recomputing identical kernels at i=1 — same values, one
+    redundant gram+eigh per fit) and the skip-M-step-in-last-iteration rule
+    is a static ``do_mstep`` flag resolved by the caller.  Failure rollback
+    is a tree-select, not a branch.
+    """
     lower = dict(bounds_static[0])
     upper = dict(bounds_static[1])
-    maxiter = cfg.maxiter
     win = None if win_w is None else (win_i0, win_j0, win_w)
 
     def do_iteration(c: Carry) -> Carry:
         theta, f_params = c.theta, c.f_params
         m_b, V_b, kern = c.m_b, c.V_b, c.kern
 
-        # Rebuild kernels + eigenspace after an M-step and reproject the
-        # variational state (utils.py:1801-1841).  Iteration 1 keeps the
-        # init kernels (theta unchanged since init).
+        # Rebuild kernels + eigenspace and reproject the variational state
+        # (utils.py:1801-1841).  At i=1 theta is unchanged since init, so
+        # this reproduces the same kernels/eigenspace (the reprojection is
+        # through B^T B = masked identity).
         if cfg.n_mstep > 0:
-            def rebuild(args):
-                theta, m_b, V_b, kern = args
-                new_kern = _build_kernel_state(theta, x, xtilde, shared, cfg,
-                                               wt, wi, win)
-                m_b, V_b = reproject(new_kern.es, kern.es, m_b, V_b)
-                return m_b, V_b, new_kern
-            m_b, V_b, kern = lax.cond(
-                i > 1, rebuild, lambda args: (args[1], args[2], args[3]),
-                (theta, m_b, V_b, kern))
+            kern_new = _build_kernel_state(theta, x, xtilde, shared, cfg,
+                                           wt, wi, win)
+            m_b, V_b = reproject(kern_new.es, kern.es, m_b, V_b)
+            kern = kern_new
 
-        # Always refresh moments + closed-form lambda0 at iteration start
-        # (identical to the reference's first-E-step refresh at
-        # utils.py:1870-1874; a no-op refresh when nothing changed).
+        # Refresh moments + closed-form lambda0 at iteration start
+        # (the reference's first-E-step refresh, utils.py:1870-1874).
         lambda_m, lambda_var = lambda_moments(kern.a, kern.K_b, kern.Kvec,
                                               m_b, V_b)
         lam0 = lambda0_given_logA(f_params["logA"], r, lambda_m, lambda_var,
@@ -361,19 +364,16 @@ def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
         track = _track_update(c.track, i, (ell, kl), theta, f_params,
                               kern.es, m_b, V_b, cfg)
 
-        # M-step on theta with the eigenspace fixed; skipped in the last
-        # iteration so the final state matches its eigenspace
+        # M-step on theta with the eigenspace fixed; the caller skips it in
+        # the last iteration so the final state matches its eigenspace
         # (utils.py:1999-2114).
-        if cfg.n_mstep > 0:
-            def mstep(theta):
-                obj = partial(_mstep_objective, x=x, xtilde=xtilde, r=r,
-                              es=kern.es, m_b=m_b, V_b=V_b,
-                              f_params=f_params, shared=shared, cfg=cfg,
-                              lower=lower, upper=upper, wt=wt, wi=wi,
-                              win=win)
-                new_theta, _ = lbfgs_minimize(obj, theta, cfg.n_mstep)
-                return new_theta
-            theta = lax.cond(i < maxiter - 1, mstep, lambda t: t, theta)
+        if cfg.n_mstep > 0 and do_mstep:
+            obj = partial(_mstep_objective, x=x, xtilde=xtilde, r=r,
+                          es=kern.es, m_b=m_b, V_b=V_b,
+                          f_params=f_params, shared=shared, cfg=cfg,
+                          lower=lower, upper=upper, wt=wt, wi=wi,
+                          win=win)
+            theta, _ = lbfgs_minimize(obj, theta, cfg.n_mstep)
 
         new = Carry(theta, f_params, m_b, V_b, kern, lambda_m, lambda_var,
                     track, c.failed, c.failed_at)
@@ -392,7 +392,10 @@ def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
         return jax.tree_util.tree_map(
             lambda a, b: jnp.where(failed_now, a, b), reverted, new)
 
-    return lax.cond(c.failed, lambda c: c, do_iteration, c)
+    out = do_iteration(c)
+    # freeze once failed (tree-select, branch-free)
+    return jax.tree_util.tree_map(
+        lambda frozen, live: jnp.where(c.failed, frozen, live), c, out)
 
 
 def _fit_finalize(c: Carry, cfg: FitConfig) -> Carry:
@@ -419,12 +422,21 @@ def _fit_program(x, r, xtilde, theta0: Theta, f_params0: FParams,
     the final RF mask stayed inside it."""
     carry = _fit_init(x, r, xtilde, theta0, f_params0, m0, V0, has_V,
                       shared, cfg, wt, wi, win_i0, win_j0, win_w)
-    carry = lax.fori_loop(
-        1, cfg.maxiter,
-        lambda i, c: _fit_iteration(i, c, x, r, xtilde, shared, cfg,
-                                    bounds_static, wt, wi,
-                                    win_i0, win_j0, win_w),
-        carry)
+    if cfg.maxiter > 2:
+        carry = lax.fori_loop(
+            1, cfg.maxiter - 1,
+            lambda i, c: _fit_iteration(i, c, x, r, xtilde, shared, cfg,
+                                        bounds_static, wt, wi,
+                                        win_i0, win_j0, win_w,
+                                        do_mstep=True),
+            carry)
+    if cfg.maxiter > 1:
+        # final iteration: no M-step (utils.py:1999 skips it so the final
+        # state matches its eigenspace)
+        carry = _fit_iteration(jnp.asarray(cfg.maxiter - 1, jnp.int32),
+                               carry, x, r, xtilde, shared, cfg,
+                               bounds_static, wt, wi,
+                               win_i0, win_j0, win_w, do_mstep=False)
     return _fit_finalize(carry, cfg)
 
 
@@ -439,7 +451,7 @@ _fit_init_jit = jax.jit(_fit_init,
                         static_argnames=("has_V", "shared", "cfg", "win_w"))
 _fit_iteration_jit = jax.jit(
     _fit_iteration,
-    static_argnames=("shared", "cfg", "bounds_static", "win_w"),
+    static_argnames=("shared", "cfg", "bounds_static", "win_w", "do_mstep"),
     donate_argnums=(1,))
 _fit_finalize_jit = jax.jit(_fit_finalize, static_argnames=("cfg",))
 
@@ -583,6 +595,7 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
                                        x, r, xtilde, shared=shared, cfg=cfg,
                                        bounds_static=bounds_static,
                                        wt=wt, wi=wi,
+                                       do_mstep=(i < cfg.maxiter - 1),
                                        **window_args(carry.theta))
             if profile:
                 jax.block_until_ready(carry.m_b)

@@ -25,16 +25,31 @@ from ..params import THETA_KEYS, default_f_params, theta_bounds
 from .mesh import population_shardings
 
 
-def population_em_program(cfg: FitConfig, shared: bool, bounds_static):
-    """The vmapped EM fit: maps (r, theta, f_params, m) over the leading
-    cell axis with (x, xtilde) shared."""
+def population_em_program(cfg: FitConfig, shared: bool, bounds_static,
+                          win_w=None):
+    """The vmapped EM fit: maps (r, theta, f_params, m, window corner) over
+    the leading cell axis with (x, xtilde) shared.  The iteration body is
+    branch-free (models/fit.py), so vmap executes each stage exactly once
+    per lane; the optional crop window has a static shared side ``win_w``
+    with per-cell traced corners."""
+    if win_w is None:
+        prog = partial(_fit_program, has_V=False, shared=shared, cfg=cfg,
+                       bounds_static=bounds_static, wt=None, wi=None)
+
+        def single(x, r, xtilde, theta, f_params, m0, V0):
+            return prog(x, r, xtilde, theta, f_params, m0, V0)
+
+        return jax.vmap(single, in_axes=(None, 0, None, 0, 0, 0, None))
+
     prog = partial(_fit_program, has_V=False, shared=shared, cfg=cfg,
-                   bounds_static=bounds_static, wt=None, wi=None)
+                   bounds_static=bounds_static, wt=None, wi=None,
+                   win_w=win_w)
 
-    def single(x, r, xtilde, theta, f_params, m0, V0):
-        return prog(x, r, xtilde, theta, f_params, m0, V0)
+    def single(x, r, xtilde, theta, f_params, m0, V0, i0, j0):
+        return prog(x, r, xtilde, theta, f_params, m0, V0,
+                    win_i0=i0, win_j0=j0)
 
-    return jax.vmap(single, in_axes=(None, 0, None, 0, 0, 0, None))
+    return jax.vmap(single, in_axes=(None, 0, None, 0, 0, 0, None, 0, 0))
 
 
 def fit_population(x: jnp.ndarray, rs: jnp.ndarray,
@@ -93,7 +108,29 @@ def fit_population(x: jnp.ndarray, rs: jnp.ndarray,
     bounds_static = (tuple(sorted(lower.items())),
                      tuple(sorted(upper.items())))
 
-    vprog = population_em_program(cfg, shared, bounds_static)
+    # per-cell crop windows with a shared static side (fixed for the whole
+    # program, from the initial thetas; 1.5x margin as in the
+    # whole-fit single-cell path)
+    win_w = None
+    i0s = j0s = None
+    if cfg.crop_window:
+        from ..ops.kernels import crop_window_for_theta
+        wins = [crop_window_for_theta(
+            {k: jnp.asarray(v[c]) for k, v in thetas.items()},
+            cfg.n_px_side, cfg.alpha_threshold, cfg.crop_margin * 1.5,
+            cfg.crop_bucket) for c in range(ncells)]
+        w_max = max(w for _, _, w in wins)
+        if w_max < cfg.n_px_side:
+            win_w = w_max
+            i0s = jnp.asarray([max(0, min(i, cfg.n_px_side - w_max))
+                               for i, _, _ in wins], jnp.int32)
+            j0s = jnp.asarray([max(0, min(j, cfg.n_px_side - w_max))
+                               for _, j, _ in wins], jnp.int32)
+
+    vprog = population_em_program(cfg, shared, bounds_static, win_w=win_w)
+    args = (x, rs, xtilde, thetas, f_params, m0, V0)
+    if win_w is not None:
+        args = args + (i0s, j0s)
 
     if mesh is not None:
         x_sh, cell_sh, repl = population_shardings(mesh)
@@ -101,10 +138,11 @@ def fit_population(x: jnp.ndarray, rs: jnp.ndarray,
                         {k: cell_sh for k in THETA_KEYS},
                         {k: cell_sh for k in ("logA", "lambda0")},
                         cell_sh, repl)
-        fitted = jax.jit(vprog, in_shardings=in_shardings)(
-            x, rs, xtilde, thetas, f_params, m0, V0)
+        if win_w is not None:
+            in_shardings = in_shardings + (cell_sh, cell_sh)
+        fitted = jax.jit(vprog, in_shardings=in_shardings)(*args)
     else:
-        fitted = jax.jit(vprog)(x, rs, xtilde, thetas, f_params, m0, V0)
+        fitted = jax.jit(vprog)(*args)
     return fitted, (lower, upper)
 
 
