@@ -83,6 +83,12 @@ class FitConfig:
     crop_window: bool = True
     crop_margin: float = 1.25
     crop_bucket: int = 16
+    # Rematerialize the Gram construction inside the M-step backward pass
+    # (jax.checkpoint): one extra forward per gradient instead of storing
+    # the (nt, nx)-scale weighted/smoothed stimulus intermediates.  Enabled
+    # automatically for vmapped population fits, where storing them per
+    # cell lane spills HBM.
+    remat_gram: bool = False
 
     def resolve_ntilde(self, nt: int) -> int:
         if self.ntilde is not None:

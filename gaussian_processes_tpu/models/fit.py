@@ -139,8 +139,8 @@ class FitResult:
 # Building blocks
 # ---------------------------------------------------------------------------
 
-def _masked_grams(theta, x, xtilde, shared, cfg, wt=None, wi=None,
-                  win=None):
+def _masked_grams(theta, x=None, xtilde=None, shared=None, cfg=None,
+                  wt=None, wi=None, win=None):
     """Gram matrices with optional pad-and-mask weights: inactive inducing
     rows/cols of K_tilde and inactive training rows of K / Kvec are zeroed,
     which confines the whole downstream algebra (eigh keep-mask, E-step,
@@ -224,8 +224,11 @@ def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
     ok = theta_in_bounds(theta, lower, upper)
     theta_c = clip_theta(theta, lower, upper)
 
-    K_tilde, K, Kvec = _masked_grams(theta_c, x, xtilde, shared, cfg, wt, wi,
-                                     win)
+    gram_fn = partial(_masked_grams, x=x, xtilde=xtilde, shared=shared,
+                      cfg=cfg, wt=wt, wi=wi, win=win)
+    if cfg.remat_gram:
+        gram_fn = jax.checkpoint(gram_fn)
+    K_tilde, K, Kvec = gram_fn(theta_c)
     B = es.B
     K_tilde_b = split_matmul(B.T, split_matmul(K_tilde, B))
     K_tilde_b = 0.5 * (K_tilde_b + K_tilde_b.T)

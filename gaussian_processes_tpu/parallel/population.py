@@ -86,6 +86,10 @@ def fit_population(x: jnp.ndarray, rs: jnp.ndarray,
         ntilde = xtilde.shape[0]
     if cfg.ntilde != ntilde:
         cfg = dataclasses.replace(cfg, ntilde=ntilde)
+    # per-lane (nt, nx) gram intermediates spill HBM when stored for the
+    # backward pass: rematerialize instead
+    if not cfg.remat_gram:
+        cfg = dataclasses.replace(cfg, remat_gram=True)
     shared = xtilde is x or (xtilde.shape == x.shape
                              and bool(jnp.all(xtilde == x)))
 
