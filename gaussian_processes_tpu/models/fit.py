@@ -240,11 +240,13 @@ def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
     f_mean = mean_f_given_lambda_moments(f_params, lambda_m, lambda_var)
     ell = poisson_ell(r, f_mean, lambda_m, f_params, weight=wt)
     # log|V| is constant in theta: omit it (pure offset; saves an O(n^3)
-    # factorization per line-search evaluation)
+    # factorization per line-search evaluation).  Cholesky-only logdet: a
+    # non-PSD trial K_tilde_b gives NaN -> inf loss -> rejected step.
     kl = kl_divergence(m_b, V_b, es, K_tilde_b=K_tilde_b,
-                       K_tilde_inv_b=K_tilde_inv_b, skip_logdet_V=True)
+                       K_tilde_inv_b=K_tilde_inv_b, skip_logdet_V=True,
+                       chol_only=True)
     loss = -(ell - kl)
-    return jnp.where(ok, loss, jnp.inf)
+    return jnp.where(ok & jnp.isfinite(loss), loss, jnp.inf)
 
 
 def _track_update(track: Track, i, loss_tuple, theta, f_params, es, m_b, V_b,

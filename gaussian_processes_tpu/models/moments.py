@@ -92,7 +92,8 @@ def ell_grad_f_params(r: jnp.ndarray, f_mean: jnp.ndarray,
 def kl_divergence(m_b: jnp.ndarray, V_b: jnp.ndarray, es: Eigenspace,
                   K_tilde_b: jnp.ndarray = None,
                   K_tilde_inv_b: jnp.ndarray = None,
-                  skip_logdet_V: bool = False) -> jnp.ndarray:
+                  skip_logdet_V: bool = False,
+                  chol_only: bool = False) -> jnp.ndarray:
     """KL(q(lambda_tilde) || p) in the stabilized basis
     (reference: utils.py:1306-1337):
 
@@ -106,6 +107,14 @@ def kl_divergence(m_b: jnp.ndarray, V_b: jnp.ndarray, es: Eigenspace,
     ``skip_logdet_V=True`` drops the -1/2 log|V| term — constant in theta, so
     the M-step objective omits it (one fewer O(n^3) factorization per
     line-search evaluation; the reported KL track always includes it).
+
+    ``chol_only=True`` uses the branchless Cholesky log-determinant without
+    the lax.cond eigh fallback: under vmap a cond executes BOTH branches per
+    lane, so the fallback would add a full eigendecomposition to every
+    line-search evaluation of every cell.  A failed factorization then
+    yields NaN, which the M-step objective maps to an infinite loss (step
+    rejected) — the same outcome as the reference's inf-at-bad-points
+    handling.
     """
     keep = es.keep
     if K_tilde_inv_b is None:
@@ -119,7 +128,11 @@ def kl_divergence(m_b: jnp.ndarray, V_b: jnp.ndarray, es: Eigenspace,
         b = jnp.matmul(K_tilde_inv_b, m_b, precision=MATMUL_PRECISION)
         quad = jnp.dot(m_b, b)
         tr = jnp.trace(split_matmul(V_b, K_tilde_inv_b))
-        logdet_K = logdet_with_fallback(K_tilde_b, keep)
+        if chol_only:
+            from ..ops.stabilize import masked_logdet_chol
+            logdet_K = masked_logdet_chol(K_tilde_b, keep)
+        else:
+            logdet_K = logdet_with_fallback(K_tilde_b, keep)
 
     if skip_logdet_V:
         return 0.5 * logdet_K + 0.5 * quad + 0.5 * tr
