@@ -89,6 +89,11 @@ class FitConfig:
     # automatically for vmapped population fits, where storing them per
     # cell lane spills HBM.
     remat_gram: bool = False
+    # Strong-Wolfe zoom line-search trial budget per L-BFGS step.  Under
+    # vmap (population fits) the zoom while_loop runs to the all-lanes-done
+    # bound and its conds execute both branches, so a tight budget bounds
+    # the lockstep waste; single-lane fits rarely need more than ~3 trials.
+    max_linesearch_steps: int = 15
 
     def resolve_ntilde(self, nt: int) -> int:
         if self.ntilde is not None:

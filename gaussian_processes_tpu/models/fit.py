@@ -205,7 +205,8 @@ def _estep_block(x, r, kern: KernelState, m_b, V_b, f_params, lambda_m,
         logA, _ = lbfgs_minimize(
             partial(_fparam_objective, r=r, lambda_m=lambda_m,
                     lambda_var=lambda_var, wt=wt),
-            f_params["logA"], cfg.n_fparamstep)
+            f_params["logA"], cfg.n_fparamstep,
+            max_linesearch_steps=cfg.max_linesearch_steps)
         lam0 = lambda0_given_logA(logA, r, lambda_m, lambda_var, weight=wt)
         f_params = {"logA": logA, "lambda0": lam0}
         return m_b, V_b, f_params, lambda_m, lambda_var
@@ -378,7 +379,9 @@ def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
                           f_params=f_params, shared=shared, cfg=cfg,
                           lower=lower, upper=upper, wt=wt, wi=wi,
                           win=win)
-            theta, _ = lbfgs_minimize(obj, theta, cfg.n_mstep)
+            theta, _ = lbfgs_minimize(
+                obj, theta, cfg.n_mstep,
+                max_linesearch_steps=cfg.max_linesearch_steps)
 
         new = Carry(theta, f_params, m_b, V_b, kern, lambda_m, lambda_var,
                     track, c.failed, c.failed_at)

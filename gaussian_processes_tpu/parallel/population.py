@@ -90,6 +90,9 @@ def fit_population(x: jnp.ndarray, rs: jnp.ndarray,
     # backward pass: rematerialize instead
     if not cfg.remat_gram:
         cfg = dataclasses.replace(cfg, remat_gram=True)
+    # bound the vmapped zoom line search (see FitConfig.max_linesearch_steps)
+    if cfg.max_linesearch_steps > 5:
+        cfg = dataclasses.replace(cfg, max_linesearch_steps=5)
     shared = xtilde is x or (xtilde.shape == x.shape
                              and bool(jnp.all(xtilde == x)))
 

@@ -33,8 +33,10 @@ THETA0 = {"sigma_0": 1.0, "eps_0x": 0.0, "eps_0y": 0.0,
           "-2log2beta": -2 * np.log(2 * 0.3),
           "-log2rho2": -np.log(2 * 0.15 ** 2), "Amp": 1.0}
 FP0 = {"logA": np.log(0.01), "lambda0": 1.0}
+# max_linesearch_steps matches the population auto-cap so the
+# population-vs-single comparison runs the same optimizer
 CFG = dict(maxiter=3, n_estep=3, n_mstep=2, n_fparamstep=3, n_px_side=N,
-           track_variational=False)
+           track_variational=False, max_linesearch_steps=5)
 
 
 def test_devices_available():
