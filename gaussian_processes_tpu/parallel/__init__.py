@@ -1,2 +1,3 @@
 from .mesh import make_mesh, population_shardings
-from .population import fit_population, population_em_program
+from .population import (fit_population, fit_cells_sequential,
+                         population_em_program)

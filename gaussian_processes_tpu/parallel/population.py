@@ -153,6 +153,37 @@ def fit_population(x: jnp.ndarray, rs: jnp.ndarray,
     return fitted, (lower, upper)
 
 
+def fit_cells_sequential(x: jnp.ndarray, rs: jnp.ndarray,
+                         cfg: Optional[FitConfig] = None,
+                         xtilde: Optional[jnp.ndarray] = None,
+                         thetas: Optional[Dict] = None,
+                         f_params: Optional[Dict] = None,
+                         seed: int = 0) -> list:
+    """Fit cells one at a time through the cached single-cell program — the
+    recommended multi-cell path on a single device.
+
+    The vmapped program (fit_population) lowers every lax.cond in the inner
+    L-BFGS line searches to execute-both-branches and runs their while_loops
+    to the all-lanes bound, costing ~10x per cell on one chip (measured;
+    see benchmarks/bench_population.py).  Sequential fits reuse one compiled
+    program at full efficiency; the vmapped path is for sharding the cell
+    axis across a mesh where per-device lane counts stay small.
+    """
+    from ..models.fit import fit
+    import dataclasses as _dc
+
+    cfg = cfg or FitConfig()
+    if cfg.jit_whole_fit:
+        cfg = _dc.replace(cfg, jit_whole_fit=False)
+    rs = jnp.asarray(rs)
+    out = []
+    for c in range(rs.shape[0]):
+        th = None if thetas is None else             {k: (v[c] if jnp.ndim(v) > 0 else v) for k, v in thetas.items()}
+        out.append(fit(x, rs[c], cfg, xtilde=xtilde, theta=th,
+                       f_params=f_params, seed=seed))
+    return out
+
+
 def population_results(carry: Carry, cfg: FitConfig, xtilde,
                        lower, upper) -> list:
     """Split a cell-stacked Carry into per-cell FitResult objects."""

@@ -123,3 +123,15 @@ def test_sharded_gram_matches_unsharded():
     np.testing.assert_allclose(np.asarray(K), np.asarray(K2), atol=1e-12)
     np.testing.assert_allclose(np.asarray(Kt), np.asarray(Kt2), atol=1e-12)
     assert "data" in str(K.sharding.spec)
+
+
+def test_sequential_population_helper():
+    from gaussian_processes_tpu.parallel import fit_cells_sequential
+    X, R = make_population(ncells=2, nt=24)
+    cfg = FitConfig(ntilde=24, **CFG)
+    results = fit_cells_sequential(
+        jnp.asarray(X), jnp.asarray(R), cfg, xtilde=jnp.asarray(X),
+        thetas={k: jnp.float64(v) for k, v in THETA0.items()},
+        f_params={k: jnp.float64(v) for k, v in FP0.items()})
+    assert len(results) == 2
+    assert not any(r.failed for r in results)
