@@ -3,7 +3,7 @@
 Mirrors the numerics posture of the reference implementation
 (reference: Spatial_GP_repo/utils.py:31-41): the reference runs float64 with
 MIN_TOLERANCE=1e-11 and EIGVAL_TOL=1e-4.  On TPU we default to float32 compute
-with HIGHEST matmul precision (3-pass bf16 on the MXU, accurate to f32) and
+with HIGHEST matmul precision (6-pass bf16 on the MXU, accurate to f32) and
 expose an x64 mode (CPU / validation) through standard ``jax.config``
 ``jax_enable_x64``.
 """
