@@ -49,6 +49,32 @@ _PRECISIONS = {"default": jax.lax.Precision.DEFAULT,
 MATMUL_PRECISION = _PRECISIONS[
     _os.environ.get("GPTPU_MATMUL_PRECISION", "highest").lower()]
 
+# Trace-time precision override: code wrapped in ``precision_scope("high")``
+# traces its matmuls at that precision instead of MATMUL_PRECISION.  Used by
+# the M-step objective, whose values only steer a line search (the tracked
+# loss/posterior is always computed at full precision outside the scope).
+_PRECISION_STACK: list = []
+
+
+def current_precision():
+    return _PRECISION_STACK[-1] if _PRECISION_STACK else MATMUL_PRECISION
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def precision_scope(p):
+    """Override the matmul precision for ops TRACED inside the scope.
+    ``p`` is a jax.lax.Precision or one of {"default","high","highest"}."""
+    if isinstance(p, str):
+        p = _PRECISIONS[p.lower()]
+    _PRECISION_STACK.append(p)
+    try:
+        yield
+    finally:
+        _PRECISION_STACK.pop()
+
 
 def default_dtype() -> jnp.dtype:
     """Framework compute dtype: f64 iff jax_enable_x64 is on, else f32."""
@@ -89,11 +115,62 @@ class FitConfig:
     # automatically for vmapped population fits, where storing them per
     # cell lane spills HBM.
     remat_gram: bool = False
+    # Reduced-rank stabilization (per-iteration mode only): run each EM
+    # iteration at a static rank budget = bucketed(kept-rank * slack + pad)
+    # instead of the full ntilde.  The kept rank (the reference's dynamic
+    # n_eigen truncation, utils.py:1683) is typically 10-20% of ntilde, so
+    # square-matrix work in the stabilized basis drops ~(ntilde/rank)^2.
+    # Exact vs the full-shape path whenever the budget covers the kept rank
+    # (dropped coordinates are exact zeros); the budget self-corrects via a
+    # host sync per iteration.
+    reduced_rank: bool = True
+    rank_slack: float = 1.25
+    rank_pad: int = 16
+    rank_bucket: int = 64
+    # Per-iteration eigensolver for the stabilizing eigenspace (reduced-rank
+    # per-iteration mode only).  "subspace" = warm-started subspace
+    # iteration + Rayleigh-Ritz from the previous basis (theta moves little
+    # between EM iterations), with a full eigh refresh every
+    # ``eigh_refresh_every`` iterations and an in-graph fallback to full
+    # eigh on numerical failure.  "eigh" = always the full factorization
+    # (the reference recomputes eigh per iteration, utils.py:1808).
+    eigensolver: str = "subspace"
+    subspace_power_steps: int = 2
+    eigh_refresh_every: int = 8
+    # Matmul precision inside the M-step objective (value + grad per
+    # line-search trial — the hottest region, reference utils.py:2013-2114).
+    # Its values only steer the L-BFGS line search; the tracked loss and the
+    # final posterior are always computed at full MATMUL_PRECISION outside
+    # this scope.  "high" = 3-pass bf16 (~1e-5 median rel error, ~2x faster
+    # grams than "highest"); validated against the f64 reference in
+    # tests/test_fit.py.
+    mstep_precision: str = "high"
+    # Inner-optimizer line search.  "zoom" = optax strong-Wolfe zoom (the
+    # reference's torch.optim.LBFGS semantics; best single-lane).  "armijo"
+    # = branch-free batched-backtracking L-BFGS (optim/lbfgs.py) — the
+    # vmap-linear choice for population fits, where zoom's cond/while_loop
+    # control flow costs ~10x per lane.
+    linesearch: str = "zoom"
+    armijo_trials: int = 6
     # Strong-Wolfe zoom line-search trial budget per L-BFGS step.  Under
     # vmap (population fits) the zoom while_loop runs to the all-lanes-done
     # bound and its conds execute both branches, so a tight budget bounds
     # the lockstep waste; single-lane fits rarely need more than ~3 trials.
     max_linesearch_steps: int = 15
+
+    def __post_init__(self):
+        if self.eigensolver not in ("eigh", "subspace"):
+            raise ValueError(
+                f"eigensolver must be 'eigh' or 'subspace', got "
+                f"{self.eigensolver!r}")
+        if self.linesearch not in ("zoom", "armijo"):
+            raise ValueError(
+                f"linesearch must be 'zoom' or 'armijo', got "
+                f"{self.linesearch!r}")
+        if self.mstep_precision not in ("default", "high", "highest"):
+            raise ValueError(
+                f"mstep_precision must be one of default/high/highest, got "
+                f"{self.mstep_precision!r}")
 
     def resolve_ntilde(self, nt: int) -> int:
         if self.ntilde is not None:

@@ -47,6 +47,72 @@ def estep_update(r: jnp.ndarray, a: jnp.ndarray, m_b: jnp.ndarray,
     return m_new, V_new
 
 
+def estep_update_damped(r: jnp.ndarray, a: jnp.ndarray, m_b: jnp.ndarray,
+                        V_b: jnp.ndarray, f_mean: jnp.ndarray,
+                        k_tilde_b_diag: jnp.ndarray,
+                        f_params: Dict[str, jnp.ndarray],
+                        alpha: float = 0.5,
+                        weight: jnp.ndarray = None
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Damped (alpha != 1) Newton E-step — API parity with the reference's
+    unstable-but-present path (utils.py:1423-1436; flagged there as risking
+    a non-posdef V_new, which is why alpha=1 is the trusted default):
+
+        V_new = V ((1-alpha) K + alpha V + alpha K G V)^-1 K
+        m_new = m - alpha (I + K G)^-1 (m - K g)
+
+    Unlike the alpha=1 update this one reads the current V."""
+    A = jnp.exp(f_params["logA"])
+    resid = r - f_mean
+    fw = f_mean
+    if weight is not None:
+        resid = resid * weight
+        fw = fw * weight
+    g = A * jnp.matmul(a.T, resid, precision=MATMUL_PRECISION)
+    G = A * A * jnp.matmul(a.T, a * fw[:, None], precision=MATMUL_PRECISION)
+    n = k_tilde_b_diag.shape[0]
+    K = jnp.diag(k_tilde_b_diag)
+    KG = k_tilde_b_diag[:, None] * G
+    lhs_V = (1.0 - alpha) * K + alpha * V_b \
+        + alpha * jnp.matmul(KG, V_b, precision=MATMUL_PRECISION)
+    V_new = jnp.matmul(V_b, jnp.linalg.solve(lhs_V, K),
+                       precision=MATMUL_PRECISION)
+    lhs_m = jnp.eye(n, dtype=a.dtype) + KG
+    m_new = m_b - alpha * jnp.linalg.solve(lhs_m,
+                                           m_b - k_tilde_b_diag * g)
+    V_new = 0.5 * (V_new + V_new.T)
+    return m_new, V_new
+
+
+def estep_update_V_inv(r: jnp.ndarray, a: jnp.ndarray, m_b: jnp.ndarray,
+                       f_mean: jnp.ndarray, k_tilde_inv_diag: jnp.ndarray,
+                       f_params: Dict[str, jnp.ndarray],
+                       weight: jnp.ndarray = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``update_V_inv=True`` variant (reference: utils.py:1441-1457):
+    invert V_inv = K^-1 + G directly (the reference warns this is less
+    stable than the solve form and adds eps-scale diagonal artifacts,
+    reproduced here for parity)."""
+    A = jnp.exp(f_params["logA"])
+    resid = r - f_mean
+    fw = f_mean
+    if weight is not None:
+        resid = resid * weight
+        fw = fw * weight
+    g = A * jnp.matmul(a.T, resid, precision=MATMUL_PRECISION)
+    G = A * A * jnp.matmul(a.T, a * fw[:, None], precision=MATMUL_PRECISION)
+    n = k_tilde_inv_diag.shape[0]
+    eps = jnp.finfo(a.dtype).eps * 1.0e-7
+    V_inv = jnp.diag(k_tilde_inv_diag) + G
+    V_inv = 0.5 * (V_inv + V_inv.T) + eps * jnp.eye(n, dtype=a.dtype)
+    V_new = jnp.linalg.inv(V_inv)
+    m_new = jnp.matmul(
+        V_new, jnp.matmul(G, m_b, precision=MATMUL_PRECISION) + g,
+        precision=MATMUL_PRECISION)
+    V_new = 0.5 * (V_new + V_new.T) + eps * jnp.eye(n, dtype=a.dtype)
+    return m_new, V_new
+
+
 def update_f_params_newton(f_params, r, lambda_m, lambda_var,
                            nit: int = 1000, eta: float = 0.25,
                            tol: float = 1e-6):

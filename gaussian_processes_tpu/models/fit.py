@@ -29,13 +29,22 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import FitConfig, MATMUL_PRECISION
+from ..config import FitConfig, MATMUL_PRECISION, precision_scope
 from ..ops.kernels import (crop_window_for_theta, gram_matrices,
                            gram_matrices_windowed, local_envelope)
 from ..ops.precision import split_matmul
 from ..ops.stabilize import (Eigenspace, compute_eigenspace, masked_inverse,
-                             project_gram, reproject)
-from ..optim.lbfgs import lbfgs_minimize
+                             project_gram, reproject, subspace_eigenspace)
+from ..optim.lbfgs import lbfgs_minimize, lbfgs_minimize_armijo
+
+
+def _minimize(cfg: FitConfig, fun, x0, num_steps):
+    """Inner L-BFGS dispatch on cfg.linesearch (see FitConfig)."""
+    if cfg.linesearch == "armijo":
+        return lbfgs_minimize_armijo(fun, x0, num_steps,
+                                     ls_trials=cfg.armijo_trials)
+    return lbfgs_minimize(fun, x0, num_steps,
+                          max_linesearch_steps=cfg.max_linesearch_steps)
 from ..params import THETA_KEYS, clip_theta, theta_bounds, theta_in_bounds
 from .estep import estep_update
 from .moments import (kl_divergence, lambda0_given_logA, lambda_moments,
@@ -122,6 +131,14 @@ class FitResult:
         return Eigenspace(self.B, self.eigvals, self.keep,
                           self.k_tilde_b_diag, self.k_tilde_inv_diag)
 
+    @property
+    def kernel_state(self) -> KernelState:
+        """The final kernels + eigenspace, reusable as ``fit(...,
+        init_kernel=)`` (the reference's ``init_kernel`` warm-start dict,
+        utils.py:1674-1694)."""
+        return KernelState(self.K_tilde, self.K, self.Kvec, self.eigenspace,
+                           self.K_b, self.a)
+
     def values_track(self) -> Dict[str, Any]:
         """Reference-shaped values_track dict (utils.py:1713-1727)."""
         t = self.track
@@ -170,10 +187,20 @@ def _masked_grams(theta, x=None, xtilde=None, shared=None, cfg=None,
 
 def _build_kernel_state(theta: Theta, x, xtilde, shared: bool,
                         cfg: FitConfig, wt=None, wi=None,
-                        win=None) -> KernelState:
+                        win=None, rank=None, es_warm=None) -> KernelState:
     K_tilde, K, Kvec = _masked_grams(theta, x, xtilde, shared, cfg, wt, wi,
                                      win)
-    es = compute_eigenspace(K_tilde, cfg.eigval_tol)
+    if es_warm is not None and rank is not None:
+        # warm-started subspace Rayleigh-Ritz with full-eigh fallback on
+        # numerical failure (lax.cond: only one branch executes per call)
+        es_sub, ok = subspace_eigenspace(K_tilde, es_warm.B,
+                                         cfg.eigval_tol,
+                                         n_power=cfg.subspace_power_steps)
+        es = lax.cond(
+            ok, lambda: es_sub,
+            lambda: compute_eigenspace(K_tilde, cfg.eigval_tol, rank=rank))
+    else:
+        es = compute_eigenspace(K_tilde, cfg.eigval_tol, rank=rank)
     K_b = jnp.matmul(K, es.B, precision=MATMUL_PRECISION)
     a = es.B if shared else K_b * es.k_tilde_inv_diag[None, :]
     return KernelState(K_tilde, K, Kvec, es, K_b, a)
@@ -202,11 +229,11 @@ def _estep_block(x, r, kern: KernelState, m_b, V_b, f_params, lambda_m,
                                 kern.es.k_tilde_b_diag, f_params, weight=wt)
         lambda_m, lambda_var = lambda_moments(kern.a, kern.K_b, kern.Kvec,
                                               m_b, V_b)
-        logA, _ = lbfgs_minimize(
+        logA, _ = _minimize(
+            cfg,
             partial(_fparam_objective, r=r, lambda_m=lambda_m,
                     lambda_var=lambda_var, wt=wt),
-            f_params["logA"], cfg.n_fparamstep,
-            max_linesearch_steps=cfg.max_linesearch_steps)
+            f_params["logA"], cfg.n_fparamstep)
         lam0 = lambda0_given_logA(logA, r, lambda_m, lambda_var, weight=wt)
         f_params = {"logA": logA, "lambda0": lam0}
         return m_b, V_b, f_params, lambda_m, lambda_var
@@ -225,27 +252,31 @@ def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
     ok = theta_in_bounds(theta, lower, upper)
     theta_c = clip_theta(theta, lower, upper)
 
-    gram_fn = partial(_masked_grams, x=x, xtilde=xtilde, shared=shared,
-                      cfg=cfg, wt=wt, wi=wi, win=win)
-    if cfg.remat_gram:
-        gram_fn = jax.checkpoint(gram_fn)
-    K_tilde, K, Kvec = gram_fn(theta_c)
-    B = es.B
-    K_tilde_b = split_matmul(B.T, split_matmul(K_tilde, B))
-    K_tilde_b = 0.5 * (K_tilde_b + K_tilde_b.T)
-    K_b = split_matmul(K, B)
-    K_tilde_inv_b = masked_inverse(K_tilde_b, es.keep)
-    a = B if shared else split_matmul(K_b, K_tilde_inv_b)
+    # This objective only steers the L-BFGS line search — its matmuls run
+    # at cfg.mstep_precision ("high" = 3-pass bf16, ~2x faster grams); the
+    # tracked loss and the posterior are computed at full precision outside.
+    with precision_scope(cfg.mstep_precision):
+        gram_fn = partial(_masked_grams, x=x, xtilde=xtilde, shared=shared,
+                          cfg=cfg, wt=wt, wi=wi, win=win)
+        if cfg.remat_gram:
+            gram_fn = jax.checkpoint(gram_fn)
+        K_tilde, K, Kvec = gram_fn(theta_c)
+        B = es.B
+        K_tilde_b = split_matmul(B.T, split_matmul(K_tilde, B))
+        K_tilde_b = 0.5 * (K_tilde_b + K_tilde_b.T)
+        K_b = split_matmul(K, B)
+        K_tilde_inv_b = masked_inverse(K_tilde_b, es.keep)
+        a = B if shared else split_matmul(K_b, K_tilde_inv_b)
 
-    lambda_m, lambda_var = lambda_moments(a, K_b, Kvec, m_b, V_b)
-    f_mean = mean_f_given_lambda_moments(f_params, lambda_m, lambda_var)
-    ell = poisson_ell(r, f_mean, lambda_m, f_params, weight=wt)
-    # log|V| is constant in theta: omit it (pure offset; saves an O(n^3)
-    # factorization per line-search evaluation).  Cholesky-only logdet: a
-    # non-PSD trial K_tilde_b gives NaN -> inf loss -> rejected step.
-    kl = kl_divergence(m_b, V_b, es, K_tilde_b=K_tilde_b,
-                       K_tilde_inv_b=K_tilde_inv_b, skip_logdet_V=True,
-                       chol_only=True)
+        lambda_m, lambda_var = lambda_moments(a, K_b, Kvec, m_b, V_b)
+        f_mean = mean_f_given_lambda_moments(f_params, lambda_m, lambda_var)
+        ell = poisson_ell(r, f_mean, lambda_m, f_params, weight=wt)
+        # log|V| is constant in theta: omit it (pure offset; saves an O(n^3)
+        # factorization per line-search evaluation).  Cholesky-only logdet: a
+        # non-PSD trial K_tilde_b gives NaN -> inf loss -> rejected step.
+        kl = kl_divergence(m_b, V_b, es, K_tilde_b=K_tilde_b,
+                           K_tilde_inv_b=K_tilde_inv_b, skip_logdet_V=True,
+                           chol_only=True)
     loss = -(ell - kl)
     return jnp.where(ok & jnp.isfinite(loss), loss, jnp.inf)
 
@@ -265,7 +296,12 @@ def _track_update(track: Track, i, loss_tuple, theta, f_params, es, m_b, V_b,
             jnp.sum(es.keep).astype(jnp.int32)),
     )
     if cfg.track_variational:
-        t = t._replace(m_b=t.m_b.at[i].set(m_b), V_b=t.V_b.at[i].set(V_b))
+        # Reduced-rank state is left-padded into the full-width track slots
+        # so tracked coordinates always align with a full ascending eigh
+        # (the sliced basis is the LAST rank columns).
+        off = t.m_b.shape[1] - m_b.shape[0]
+        t = t._replace(m_b=t.m_b.at[i, off:].set(m_b),
+                       V_b=t.V_b.at[i, off:, off:].set(V_b))
     return t
 
 
@@ -275,15 +311,18 @@ def _track_update(track: Track, i, loss_tuple, theta, f_params, es, m_b, V_b,
 
 def _fit_init(x, r, xtilde, theta0: Theta, f_params0: FParams, m0, V0,
               has_V: bool, shared: bool, cfg: FitConfig, wt=None, wi=None,
-              win_i0=None, win_j0=None, win_w=None) -> Carry:
+              win_i0=None, win_j0=None, win_w=None, kern0=None) -> Carry:
     """Initialization: kernels, eigenspace, variational state, tracking
-    (reference: utils.py:1667-1791)."""
+    (reference: utils.py:1667-1791).  ``kern0`` is an optional precomputed
+    KernelState (the reference's ``init_kernel`` warm start,
+    utils.py:1674-1694) that skips the initial gram + eigh."""
     dtype = x.dtype
     ntilde = xtilde.shape[0]
     maxiter = cfg.maxiter
 
     win = None if win_w is None else (win_i0, win_j0, win_w)
-    kern = _build_kernel_state(theta0, x, xtilde, shared, cfg, wt, wi, win)
+    kern = kern0 if kern0 is not None else _build_kernel_state(
+        theta0, x, xtilde, shared, cfg, wt, wi, win)
     es = kern.es
     m_b = jnp.matmul(es.B.T, m0, precision=MATMUL_PRECISION)
     if has_V:
@@ -321,7 +360,7 @@ def _fit_init(x, r, xtilde, theta0: Theta, f_params0: FParams, m0, V0,
 def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
                    bounds_static, wt=None, wi=None,
                    win_i0=None, win_j0=None, win_w=None,
-                   do_mstep: bool = True) -> Carry:
+                   do_mstep: bool = True, warm_eigh: bool = False) -> Carry:
     """One EM iteration (reference loop body: utils.py:1794-2125), a no-op
     once the carry is marked failed.
 
@@ -343,10 +382,16 @@ def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
         # Rebuild kernels + eigenspace and reproject the variational state
         # (utils.py:1801-1841).  At i=1 theta is unchanged since init, so
         # this reproduces the same kernels/eigenspace (the reprojection is
-        # through B^T B = masked identity).
+        # through B^T B = masked identity).  The stabilized rank is static,
+        # inferred from the carry (ntilde = full-shape mode; anything
+        # smaller = reduced-rank mode, see _slice_carry / fit()).
         if cfg.n_mstep > 0:
-            kern_new = _build_kernel_state(theta, x, xtilde, shared, cfg,
-                                           wt, wi, win)
+            rnk = m_b.shape[0]
+            reduced = rnk < xtilde.shape[0]
+            kern_new = _build_kernel_state(
+                theta, x, xtilde, shared, cfg, wt, wi, win,
+                rank=rnk if reduced else None,
+                es_warm=kern.es if (warm_eigh and reduced) else None)
             m_b, V_b = reproject(kern_new.es, kern.es, m_b, V_b)
             kern = kern_new
 
@@ -379,9 +424,7 @@ def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
                           f_params=f_params, shared=shared, cfg=cfg,
                           lower=lower, upper=upper, wt=wt, wi=wi,
                           win=win)
-            theta, _ = lbfgs_minimize(
-                obj, theta, cfg.n_mstep,
-                max_linesearch_steps=cfg.max_linesearch_steps)
+            theta, _ = _minimize(cfg, obj, theta, cfg.n_mstep)
 
         new = Carry(theta, f_params, m_b, V_b, kern, lambda_m, lambda_var,
                     track, c.failed, c.failed_at)
@@ -420,16 +463,68 @@ def _fit_finalize(c: Carry, cfg: FitConfig) -> Carry:
     return c._replace(V_b=V_b)
 
 
+def _slice_carry(c: Carry, rank: int, shared: bool) -> Carry:
+    """Re-shape the carry's stabilized-basis state to a new static ``rank``.
+
+    Shrinking takes the LAST ``rank`` coordinates (the top of the ascending
+    eigh — exactly the keep-masked subspace whenever rank >= n_eigen, since
+    dropped coordinates are exact zeros).  Growing left-pads with zero
+    coordinates (keep=False), which contribute nothing until the next
+    kernel rebuild re-derives the eigenspace at the larger rank."""
+    es = c.kern.es
+    r_in = c.m_b.shape[0]
+    if rank == r_in:
+        return c
+    if rank < r_in:
+        sl = slice(r_in - rank, None)
+        es_new = Eigenspace(es.B[:, sl], es.eigvals[sl], es.keep[sl],
+                            es.k_tilde_b_diag[sl], es.k_tilde_inv_diag[sl])
+        K_b = c.kern.K_b[:, sl]
+        a = es_new.B if shared else c.kern.a[:, sl]
+        m_b = c.m_b[sl]
+        V_b = c.V_b[sl][:, sl]
+    else:
+        pad = rank - r_in
+        dtype = c.m_b.dtype
+        ntilde = es.B.shape[0]
+        zc = jnp.zeros((ntilde, pad), dtype)
+        zv = jnp.zeros(pad, dtype)
+        es_new = Eigenspace(
+            jnp.concatenate([zc, es.B], axis=1),
+            jnp.concatenate([zv, es.eigvals]),
+            jnp.concatenate([jnp.zeros(pad, bool), es.keep]),
+            jnp.concatenate([zv, es.k_tilde_b_diag]),
+            jnp.concatenate([zv, es.k_tilde_inv_diag]))
+        ztc = jnp.zeros((c.kern.K_b.shape[0], pad), dtype)
+        K_b = jnp.concatenate([ztc, c.kern.K_b], axis=1)
+        a = es_new.B if shared else jnp.concatenate([ztc, c.kern.a], axis=1)
+        m_b = jnp.concatenate([zv, c.m_b])
+        V_b = jnp.zeros((rank, rank), dtype).at[pad:, pad:].set(c.V_b)
+    kern = c.kern._replace(es=es_new, K_b=K_b, a=a)
+    return c._replace(m_b=m_b, V_b=V_b, kern=kern)
+
+
+_slice_carry_jit = jax.jit(_slice_carry, static_argnames=("rank", "shared"))
+
+
+def _rank_bucket(n_eigen: int, cfg: FitConfig, ntilde: int) -> int:
+    """Static rank budget for a measured kept-rank: slack + bucket so jit
+    caches a handful of shapes and the budget survives modest growth."""
+    r = int(n_eigen * cfg.rank_slack) + cfg.rank_pad
+    r = ((r + cfg.rank_bucket - 1) // cfg.rank_bucket) * cfg.rank_bucket
+    return min(r, ntilde)
+
+
 def _fit_program(x, r, xtilde, theta0: Theta, f_params0: FParams,
                  m0, V0, has_V: bool, shared: bool, cfg: FitConfig,
                  bounds_static, wt=None, wi=None,
-                 win_i0=None, win_j0=None, win_w=None):
+                 win_i0=None, win_j0=None, win_w=None, kern0=None):
     """The whole EM fit as ONE program (init + fori_loop + finalize).
     The optional crop window is FIXED for the whole program (computed from
     the initial theta with an enlarged margin); fit() checks post hoc that
     the final RF mask stayed inside it."""
     carry = _fit_init(x, r, xtilde, theta0, f_params0, m0, V0, has_V,
-                      shared, cfg, wt, wi, win_i0, win_j0, win_w)
+                      shared, cfg, wt, wi, win_i0, win_j0, win_w, kern0)
     if cfg.maxiter > 2:
         carry = lax.fori_loop(
             1, cfg.maxiter - 1,
@@ -459,7 +554,8 @@ _fit_init_jit = jax.jit(_fit_init,
                         static_argnames=("has_V", "shared", "cfg", "win_w"))
 _fit_iteration_jit = jax.jit(
     _fit_iteration,
-    static_argnames=("shared", "cfg", "bounds_static", "win_w", "do_mstep"),
+    static_argnames=("shared", "cfg", "bounds_static", "win_w", "do_mstep",
+                     "warm_eigh"),
     donate_argnums=(1,))
 _fit_finalize_jit = jax.jit(_fit_finalize, static_argnames=("cfg",))
 
@@ -476,6 +572,7 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
         V: Optional[jnp.ndarray] = None,
         sample_weight: Optional[jnp.ndarray] = None,
         inducing_weight: Optional[jnp.ndarray] = None,
+        init_kernel: Optional[KernelState] = None,
         seed: int = 0, profile: bool = False) -> FitResult:
     """Fit the spatial GP to (x, r).  The ``varGP`` equivalent.
 
@@ -487,6 +584,12 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
     the pad-and-mask active-learning path: the buffers stay at fixed capacity
     (one compiled program for the whole closed loop) while masked entries are
     exactly excluded from the fit.
+
+    ``init_kernel`` — a precomputed KernelState (e.g. ``prev.kernel_state``
+    from an earlier FitResult at the same theta/xtilde) that skips the
+    initial gram + eigendecomposition, matching the reference's
+    ``init_kernel`` warm-start kwarg (utils.py:1674-1694; its active loop
+    hands kernels across rounds this way).
     """
     from .. import params as P
 
@@ -552,7 +655,7 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
         carry = _fit_program_jit(x, r, xtilde, theta, f_params, m0, V0,
                                  has_V=has_V, shared=shared, cfg=cfg,
                                  bounds_static=bounds_static, wt=wt, wi=wi,
-                                 **wf_win)
+                                 kern0=init_kernel, **wf_win)
         if wf_win["win_w"] is not None:
             fi0, fj0, fw = crop_window_for_theta(
                 carry.theta, cfg.n_px_side, cfg.alpha_threshold,
@@ -561,22 +664,34 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
             i0v = int(wf_win["win_i0"]); j0v = int(wf_win["win_j0"])
             if not (fi0 >= i0v and fj0 >= j0v
                     and fi0 + fw <= i0v + w0 and fj0 + fw <= j0v + w0):
+                # The RF outgrew the fixed window: the whole-fit result is
+                # inexact.  Auto-fall-back to the per-iteration path, whose
+                # window tracks theta between compiled calls (exact), instead
+                # of returning a silently-wrong fit.
                 import warnings as _warnings
                 _warnings.warn(
                     "RF mask outgrew the fixed crop window during a "
-                    "whole-fit run; rerun with jit_whole_fit=False "
-                    "(tracking window) or crop_window=False for exact "
-                    "results")
+                    "whole-fit run; re-running with the per-iteration "
+                    "tracking window (exact)")
+                return fit(x, r,
+                           dataclasses.replace(cfg, jit_whole_fit=False),
+                           xtilde=xtilde, theta=theta, f_params=f_params,
+                           m=m, V=V, sample_weight=sample_weight,
+                           inducing_weight=inducing_weight,
+                           init_kernel=init_kernel, seed=seed,
+                           profile=profile)
     else:
         import os as _os
         _log_win = bool(_os.environ.get("GPTPU_LOG_WINDOW"))
 
-        def window_args(th):
+        from ..ops.kernels import crop_window_from_scalars
+
+        def window_args_from(lb, ex, ey):
             if not cfg.crop_window:
                 return dict(win_i0=None, win_j0=None, win_w=None)
-            i0, j0, w = crop_window_for_theta(
-                {k: jnp.asarray(v) for k, v in th.items()}, cfg.n_px_side,
-                cfg.alpha_threshold, cfg.crop_margin, cfg.crop_bucket)
+            i0, j0, w = crop_window_from_scalars(
+                lb, ex, ey, cfg.n_px_side, cfg.alpha_threshold,
+                cfg.crop_margin, cfg.crop_bucket)
             if _log_win:
                 import sys as _sys
                 print(f"[fit] crop window i0={i0} j0={j0} w={w}",
@@ -586,25 +701,58 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
             return dict(win_i0=jnp.asarray(i0, jnp.int32),
                         win_j0=jnp.asarray(j0, jnp.int32), win_w=w)
 
+        def sync_scalars(carry_or_theta, keep=None):
+            """ONE host transfer per iteration: the window's theta scalars
+            plus (optionally) the keep mask for the rank budget."""
+            th = (carry_or_theta.theta if hasattr(carry_or_theta, "theta")
+                  else carry_or_theta)
+            vals = [th["-2log2beta"], th["eps_0x"], th["eps_0y"]]
+            if keep is not None:
+                vals.append(keep)
+            got = jax.device_get(tuple(vals))
+            lb, ex, ey = (float(v) for v in got[:3])
+            n_eig = int(got[3].sum()) if keep is not None else None
+            return window_args_from(lb, ex, ey), n_eig
+
         import time as _time
         timing = {"per_iteration": []} if profile else None
         t0 = _time.perf_counter()
+        wargs0, _ = sync_scalars(theta)
         carry = _fit_init_jit(x, r, xtilde, theta, f_params, m0, V0,
                               has_V=has_V, shared=shared, cfg=cfg,
-                              wt=wt, wi=wi, **window_args(theta))
+                              wt=wt, wi=wi, kern0=init_kernel, **wargs0)
         if profile:
             jax.block_until_ready(carry.m_b)
             timing["init"] = _time.perf_counter() - t0
+        # Reduced-rank mode: run every iteration at a static rank budget
+        # derived from the measured kept-rank (the reference's dynamic
+        # n_eigen, utils.py:1683, realized as a handful of bucketed static
+        # shapes).  n_eigen is synced together with theta's window scalars.
+        reduced = cfg.reduced_rank
         for i in range(1, cfg.maxiter):
             # the window tracks theta between compiled calls (host sync of
             # a few scalars; w stays in a small set of bucketed sizes)
             ti = _time.perf_counter()
+            wargs, n_eig = sync_scalars(
+                carry, carry.kern.es.keep if reduced else None)
+            if reduced:
+                r_next = _rank_bucket(n_eig, cfg, ntilde)
+                if r_next != carry.m_b.shape[0]:
+                    carry = _slice_carry_jit(carry, rank=r_next,
+                                             shared=shared)
+            # warm-started subspace eigensolver between periodic full-eigh
+            # refreshes (never at i=1: the warm basis must come from a
+            # converged full factorization of the same rank)
+            warm = (reduced and cfg.eigensolver == "subspace" and i > 1
+                    and (cfg.eigh_refresh_every == 0
+                         or i % cfg.eigh_refresh_every != 0))
             carry = _fit_iteration_jit(jnp.asarray(i, jnp.int32), carry,
                                        x, r, xtilde, shared=shared, cfg=cfg,
                                        bounds_static=bounds_static,
                                        wt=wt, wi=wi,
                                        do_mstep=(i < cfg.maxiter - 1),
-                                       **window_args(carry.theta))
+                                       warm_eigh=warm,
+                                       **wargs)
             if profile:
                 jax.block_until_ready(carry.m_b)
                 timing["per_iteration"].append(_time.perf_counter() - ti)

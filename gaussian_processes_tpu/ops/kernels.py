@@ -42,7 +42,8 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import ALPHA_THRESHOLD, COSDELTA_JITTER, MATMUL_PRECISION
+from ..config import (ALPHA_THRESHOLD, COSDELTA_JITTER,
+                      MATMUL_PRECISION, current_precision)
 from .precision import split_matmul
 
 Theta = Dict[str, jnp.ndarray]
@@ -150,12 +151,22 @@ def crop_window_for_theta(theta: Theta, n_px_side: int,
     Host-side helper (concrete theta values).  Returns w == n_px_side when
     the RF covers most of the grid (no crop benefit).
     """
-    import math as _math
     import jax as _jax
     # one batched transfer instead of three (device->host latency through
     # the TPU tunnel is tens of ms per sync)
     lb, eps_x, eps_y = (float(v) for v in _jax.device_get(
         (theta["-2log2beta"], theta["eps_0x"], theta["eps_0y"])))
+    return crop_window_from_scalars(lb, eps_x, eps_y, n_px_side,
+                                    alpha_threshold, margin, bucket)
+
+
+def crop_window_from_scalars(lb: float, eps_x: float, eps_y: float,
+                             n_px_side: int,
+                             alpha_threshold: float = ALPHA_THRESHOLD,
+                             margin: float = 1.25, bucket: int = 16):
+    """Pure-host window computation from already-synced theta scalars
+    (callers batching several host syncs into one transfer use this)."""
+    import math as _math
     gb = _math.exp(lb)
     # alpha >= t  <=>  d^2 <= ln(1/t) / gb
     radius = _math.sqrt(max(_math.log(1.0 / alpha_threshold) / max(gb, 1e-12),
@@ -223,7 +234,7 @@ def quad_forms(theta: Theta, x1: jnp.ndarray, x2: Optional[jnp.ndarray],
     q22 = amp * jnp.sum(u2 * s2, axis=1)
     q12 = None
     if with_cross:
-        q12 = amp * jnp.matmul(u1, s2.T, precision=MATMUL_PRECISION)
+        q12 = amp * jnp.matmul(u1, s2.T, precision=current_precision())
     return q11, q22, q12
 
 

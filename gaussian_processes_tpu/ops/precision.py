@@ -20,7 +20,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from ..config import MATMUL_PRECISION, _PRECISIONS
+from ..config import MATMUL_PRECISION, _PRECISIONS, current_precision
 
 GRAD_PRECISION = _PRECISIONS[
     os.environ.get("GPTPU_GRAD_PRECISION", "highest").lower()]
@@ -33,7 +33,7 @@ def split_matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     supported); use plain jnp.matmul for matrix-vector products — their
     backward is quadratic-cost anyway."""
     assert a.ndim >= 2 and b.ndim >= 2, "split_matmul requires >=2-D operands"
-    return jnp.matmul(a, b, precision=MATMUL_PRECISION)
+    return jnp.matmul(a, b, precision=current_precision())
 
 
 def _fwd(a, b):

@@ -47,13 +47,25 @@ class Eigenspace(NamedTuple):
 
 
 def compute_eigenspace(K_tilde: jnp.ndarray,
-                       eigval_tol: float = EIGVAL_TOL) -> Eigenspace:
-    """eigh + static-rank truncation (reference: utils.py:1682-1694)."""
+                       eigval_tol: float = EIGVAL_TOL,
+                       rank: int = None) -> Eigenspace:
+    """eigh + static-rank truncation (reference: utils.py:1682-1694).
+
+    ``rank`` (static) slices the basis to the top-``rank`` eigenpairs (the
+    LAST columns of the ascending eigh) so every downstream product runs at
+    (.., rank) instead of (.., ntilde).  Whenever rank >= the number of kept
+    eigenvalues this is exactly the keep-masked full-shape algebra with the
+    always-zero coordinates removed; if the spectrum needs more than
+    ``rank`` directions the truncation is harder than the reference rule for
+    this one call (the caller's rank budget grows on the next sync)."""
     eigvals, eigvecs = jnp.linalg.eigh(K_tilde)
-    thresh = jnp.maximum(eigvals[-1] * eigval_tol, eigval_tol)
+    if rank is not None and rank < K_tilde.shape[-1]:
+        eigvals = eigvals[..., -rank:]
+        eigvecs = eigvecs[..., :, -rank:]
+    thresh = jnp.maximum(eigvals[..., -1:] * eigval_tol, eigval_tol)
     keep = eigvals > thresh
     keepf = keep.astype(K_tilde.dtype)
-    B = eigvecs * keepf[None, :]
+    B = eigvecs * keepf[..., None, :]
     safe = jnp.where(keep, eigvals, jnp.ones_like(eigvals))
     return Eigenspace(
         B=B,
@@ -62,6 +74,76 @@ def compute_eigenspace(K_tilde: jnp.ndarray,
         k_tilde_b_diag=eigvals * keepf,
         k_tilde_inv_diag=keepf / safe,
     )
+
+
+def _cholqr(Y: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
+    """Orthonormalize the columns of Y by (repeated) Cholesky-QR — two
+    MXU-friendly matmuls + one small Cholesky per pass, instead of a
+    Householder QR (which lowers to a long scalar-heavy loop on TPU).
+    A rank-deficient Y yields NaN, which the caller's fallback catches."""
+    from jax.scipy.linalg import solve_triangular
+    for _ in range(iters):
+        G = jnp.matmul(Y.T, Y, precision=MATMUL_PRECISION)
+        L = jnp.linalg.cholesky(G)
+        Y = solve_triangular(L, Y.T, lower=True).T
+    return Y
+
+
+def subspace_eigenspace(K_tilde: jnp.ndarray, B_warm: jnp.ndarray,
+                        eigval_tol: float = EIGVAL_TOL,
+                        n_power: int = 2):
+    """Warm-started top-r eigenspace by subspace iteration + Rayleigh-Ritz.
+
+    Between EM iterations theta moves little, so the previous basis
+    ``B_warm`` (ntilde, r) is an excellent initial subspace for the new
+    K_tilde: a couple of power steps (K_tilde @ Y, CholQR orthogonalization)
+    re-converge it, and the r x r Rayleigh-Ritz problem delivers eigenpairs.
+    O(ntilde^2 r) matmuls + eigh(r) instead of eigh(ntilde) — at the
+    production shapes (ntilde=2100, r~384) this replaces a ~136 ms
+    factorization with ~6 ms of MXU work.
+
+    ``B_warm`` may contain all-zero columns (dropped directions are zeroed
+    by the keep mask; rank growth pads with zeros) — they are replaced by
+    deterministic canonical fillers that the power steps rotate into the
+    escaped directions (the randomized-range-finder trick with a fixed
+    probe).
+
+    Returns ``(es, ok)`` where ``ok`` is False when the iteration failed
+    numerically (rank-deficient CholQR); callers fall back to the full eigh.
+    """
+    n, r = B_warm.shape
+    dtype = K_tilde.dtype
+    # deterministic fillers for dead columns: spread canonical vectors
+    rows = (jnp.arange(r) * max(n // r, 1)) % n
+    filler = jnp.zeros((n, r), dtype).at[rows, jnp.arange(r)].set(1.0)
+    alive = jnp.sum(B_warm * B_warm, axis=0) > 0
+    Y = jnp.where(alive[None, :], B_warm, filler)
+    for _ in range(n_power):
+        Y = jnp.matmul(K_tilde, Y, precision=MATMUL_PRECISION)
+        # normalize columns before CholQR so the Gram stays well-scaled
+        # across the ~1e4 eigenvalue spread
+        norm = jnp.sqrt(jnp.sum(Y * Y, axis=0))
+        Y = Y / jnp.maximum(norm, jnp.finfo(dtype).tiny)[None, :]
+        Y = _cholqr(Y, iters=1)
+    M = jnp.matmul(Y.T, jnp.matmul(K_tilde, Y, precision=MATMUL_PRECISION),
+                   precision=MATMUL_PRECISION)
+    M = 0.5 * (M + M.T)
+    eigvals, U = jnp.linalg.eigh(M)
+    B = jnp.matmul(Y, U, precision=MATMUL_PRECISION)
+    thresh = jnp.maximum(eigvals[-1] * eigval_tol, eigval_tol)
+    keep = eigvals > thresh
+    keepf = keep.astype(dtype)
+    B = B * keepf[None, :]
+    safe = jnp.where(keep, eigvals, jnp.ones_like(eigvals))
+    ok = jnp.all(jnp.isfinite(B)) & jnp.all(jnp.isfinite(eigvals))
+    es = Eigenspace(
+        B=jnp.where(ok, B, jnp.zeros_like(B)),
+        eigvals=eigvals,
+        keep=keep,
+        k_tilde_b_diag=eigvals * keepf,
+        k_tilde_inv_diag=keepf / safe,
+    )
+    return es, ok
 
 
 def project_gram(es: Eigenspace, K: jnp.ndarray, shared: bool) -> jnp.ndarray:

@@ -64,3 +64,121 @@ def lbfgs_minimize(fun: Callable[[Any], jnp.ndarray], x0: Any,
     (xf, _, x_best, f_best), _ = jax.lax.scan(
         step, (x0, state0, x0, f_best0), None, length=num_steps)
     return x_best, f_best
+
+
+def lbfgs_minimize_armijo(fun: Callable[[Any], jnp.ndarray], x0: Any,
+                          num_steps: int, memory_size: int = 8,
+                          ls_trials: int = 6, c1: float = 1e-4,
+                          ) -> Tuple[Any, jnp.ndarray]:
+    """vmap-linear L-BFGS: two-loop recursion + BATCHED Armijo backtracking.
+
+    optax's zoom line search lowers to data-dependent lax.cond/while_loop
+    control flow; under vmap (population fits, one lane per cell) every cond
+    executes BOTH branches for all lanes and every while_loop runs to the
+    slowest lane's bound — measured ~10x per-cell overhead.  This variant is
+    branch-free: each L-BFGS step evaluates a geometric ladder of
+    ``ls_trials`` step sizes as ONE batched objective call (jax.vmap over the
+    trial axis — on TPU the trial Grams batch onto the MXU), selects the
+    first Armijo-satisfying trial with masks, then takes one value+grad call
+    at the accepted point for the curvature pair.  Fixed cost per step:
+    1 batched value + 1 value-and-grad, with no lane-dependent control flow.
+
+    Same contract as ``lbfgs_minimize``: +inf objective values (bound
+    violations) fail the Armijo test and are never accepted; returns the
+    best-so-far iterate.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    flat0, unravel = ravel_pytree(x0)
+    d = flat0.shape[0]
+    dtype = flat0.dtype
+
+    def fv(flat):
+        return fun(unravel(flat))
+
+    vg = jax.value_and_grad(fv)
+    fv_batch = jax.vmap(fv)
+
+    alphas = (0.5 ** jnp.arange(ls_trials)).astype(dtype)
+
+    def two_loop(g, S, Y, rho, age):
+        """L-BFGS two-loop recursion over a fixed-size cyclic memory.
+        ``age[i]`` is the step at which slot i was written (-1 = empty); the
+        recursion must visit pairs newest-to-oldest, so slots are processed
+        in descending age order.  Empty slots carry rho=0 and contribute
+        exactly nothing."""
+        order = jnp.argsort(-age)           # newest first
+        valid = age >= 0
+
+        def bwd(q, i):
+            a_i = rho[i] * jnp.dot(S[i], q) * valid[i]
+            return q - a_i * Y[i], a_i
+        q, a_list = jax.lax.scan(bwd, g, order)
+        # gamma scaling from the most recent pair
+        last = order[0]
+        ys = jnp.dot(Y[last], Y[last])
+        sy = 1.0 / jnp.where(rho[last] > 0, rho[last], jnp.ones((), dtype))
+        gamma = jnp.where(jnp.any(valid),
+                          sy / jnp.maximum(ys, jnp.finfo(dtype).tiny),
+                          jnp.ones((), dtype))
+        r = gamma * q
+
+        def fwd(carry, ia):
+            r = carry
+            i, a_i = ia
+            b_i = rho[i] * jnp.dot(Y[i], r) * valid[i]
+            return r + (a_i - b_i) * S[i], None
+        r, _ = jax.lax.scan(fwd, r, (order[::-1], a_list[::-1]))
+        return -r
+
+    f0, g0 = vg(flat0)
+    S0 = jnp.zeros((memory_size, d), dtype)
+    Y0 = jnp.zeros((memory_size, d), dtype)
+    rho0 = jnp.zeros(memory_size, dtype)
+    age0 = jnp.full(memory_size, -1, jnp.int32)
+    f_best0 = jnp.where(jnp.isfinite(f0), f0, jnp.inf)
+
+    def step(carry, k):
+        flat, f, g, S, Y, rho, age, x_best, f_best = carry
+        direction = two_loop(g, S, Y, rho, age)
+        gd = jnp.dot(g, direction)
+        # non-descent direction (memory gone stale): fall back to -g
+        bad_dir = (gd >= 0) | ~jnp.isfinite(gd)
+        direction = jnp.where(bad_dir, -g, direction)
+        gd = jnp.where(bad_dir, -jnp.dot(g, g), gd)
+
+        trials = flat[None, :] + alphas[:, None] * direction[None, :]
+        fs = fv_batch(trials)
+        ok = fs <= f + c1 * alphas * gd
+        first_ok = jnp.argmax(ok)            # index of first True (0 if none)
+        any_ok = jnp.any(ok)
+        alpha = jnp.where(any_ok, alphas[first_ok], jnp.zeros((), dtype))
+        x_new = flat + alpha * direction
+        f_new, g_new = vg(x_new)
+        # reject non-finite results (frozen lane keeps its state)
+        finite = jnp.isfinite(f_new) & jnp.all(jnp.isfinite(x_new))
+        accept = any_ok & finite
+        x_new = jnp.where(accept, x_new, flat)
+        f_new = jnp.where(accept, f_new, f)
+        g_new = jnp.where(accept, g_new, g)
+
+        s = x_new - flat
+        y = g_new - g
+        sy = jnp.dot(s, y)
+        store = accept & (sy > 1e-10 * jnp.maximum(jnp.dot(s, s), 1e-30))
+        slot = k % memory_size
+        S = jnp.where(store, S.at[slot].set(s), S)
+        Y = jnp.where(store, Y.at[slot].set(y), Y)
+        rho = jnp.where(store, rho.at[slot].set(
+            1.0 / jnp.maximum(sy, jnp.finfo(dtype).tiny)), rho)
+        age = jnp.where(store, age.at[slot].set(k.astype(jnp.int32)), age)
+
+        better = jnp.isfinite(f_new) & (f_new < f_best)
+        x_best = jnp.where(better, x_new, x_best)
+        f_best = jnp.where(better, f_new, f_best)
+        return (x_new, f_new, g_new, S, Y, rho, age, x_best, f_best), None
+
+    carry0 = (flat0, f0, g0, S0, Y0, rho0, age0, flat0, f_best0)
+    carry, _ = jax.lax.scan(step, carry0, jnp.arange(num_steps))
+    x_best, f_best = carry[-2], carry[-1]
+    return unravel(x_best), f_best

@@ -90,7 +90,11 @@ def fit_population(x: jnp.ndarray, rs: jnp.ndarray,
     # backward pass: rematerialize instead
     if not cfg.remat_gram:
         cfg = dataclasses.replace(cfg, remat_gram=True)
-    # bound the vmapped zoom line search (see FitConfig.max_linesearch_steps)
+    # vmap-linear inner optimizer: the zoom line search's cond/while_loop
+    # control flow costs ~10x per lane under vmap; the batched-backtracking
+    # Armijo L-BFGS (optim/lbfgs.py) is branch-free
+    if cfg.linesearch == "zoom":
+        cfg = dataclasses.replace(cfg, linesearch="armijo")
     if cfg.max_linesearch_steps > 5:
         cfg = dataclasses.replace(cfg, max_linesearch_steps=5)
     shared = xtilde is x or (xtilde.shape == x.shape

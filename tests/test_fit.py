@@ -202,3 +202,132 @@ def test_golden_regression_values():
                                                         rel=1e-5)
     assert float(res.theta["-2log2beta"]) == pytest.approx(
         0.922272644324383, rel=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 features: reduced rank, subspace eigensolver, init_kernel,
+# crop-window fallback
+# ---------------------------------------------------------------------------
+
+def _lowrank_problem(nt=100, ntilde=60, seed=0):
+    """A problem whose K_tilde spectrum is genuinely truncated (tiny RF
+    envelope -> kept rank << ntilde), so reduced-rank paths actually slice."""
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((nt, N * N))
+    lin = np.linspace(-1, 1, N)
+    yy, xx = np.meshgrid(lin, lin, indexing="ij")
+    w = np.exp(-((xx - 0.1) ** 2 + (yy + 0.2) ** 2) / (2 * 0.1 ** 2)).ravel()
+    r = rng.poisson(np.exp(0.8 * x @ (w / np.linalg.norm(w)))).astype(float)
+    theta = {"sigma_0": 1.0, "eps_0x": 0.1, "eps_0y": -0.2,
+             "-2log2beta": -2 * np.log(2 * 0.06),
+             "-log2rho2": -np.log(2 * 0.15 ** 2), "Amp": 1.0}
+    return x, r, x[:ntilde].copy(), theta
+
+
+def test_reduced_rank_matches_full_shape():
+    """The bucketed static-rank slice is exactly the keep-masked full-shape
+    algebra (dropped coordinates are exact zeros)."""
+    import dataclasses
+    x, r, xt, theta = _lowrank_problem()
+    cfg0 = FitConfig(ntilde=xt.shape[0], maxiter=6, n_estep=3, n_mstep=3,
+                     n_fparamstep=3, n_px_side=N, jit_whole_fit=False,
+                     crop_window=False, reduced_rank=False)
+    cfg1 = dataclasses.replace(cfg0, reduced_rank=True, rank_bucket=8,
+                               rank_pad=4, eigensolver="eigh")
+    r0 = fit(jnp.asarray(x), jnp.asarray(r), cfg0, xtilde=jnp.asarray(xt),
+             theta=theta)
+    r1 = fit(jnp.asarray(x), jnp.asarray(r), cfg1, xtilde=jnp.asarray(xt),
+             theta=theta)
+    rank = r1.B.shape[1]
+    assert rank < xt.shape[0], "rank was not actually reduced"
+    np.testing.assert_allclose(np.asarray(r1.track.logmarginal),
+                               np.asarray(r0.track.logmarginal),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(r1.m_b),
+                               np.asarray(r0.m_b)[-rank:], rtol=1e-8,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r1.V_b),
+                               np.asarray(r0.V_b)[-rank:, -rank:],
+                               rtol=1e-8, atol=1e-12)
+
+
+def test_subspace_eigensolver_tracks_eigh():
+    """Warm-started Rayleigh-Ritz stays within a small tolerance of the
+    full-eigh trajectory (it is an approximation: the basis drifts by the
+    subspace-iteration residual)."""
+    import dataclasses
+    x, r, xt, theta = _lowrank_problem()
+    cfg0 = FitConfig(ntilde=xt.shape[0], maxiter=8, n_estep=3, n_mstep=3,
+                     n_fparamstep=3, n_px_side=N, jit_whole_fit=False,
+                     crop_window=False, reduced_rank=True, rank_bucket=8,
+                     rank_pad=4, eigensolver="eigh")
+    cfg1 = dataclasses.replace(cfg0, eigensolver="subspace",
+                               eigh_refresh_every=4)
+    r0 = fit(jnp.asarray(x), jnp.asarray(r), cfg0, xtilde=jnp.asarray(xt),
+             theta=theta)
+    r1 = fit(jnp.asarray(x), jnp.asarray(r), cfg1, xtilde=jnp.asarray(xt),
+             theta=theta)
+    l0 = np.asarray(r0.track.logmarginal)
+    l1 = np.asarray(r1.track.logmarginal)
+    assert not r1.failed
+    np.testing.assert_allclose(l1, l0, rtol=0.02)
+
+
+def test_init_kernel_warm_start():
+    """fit(init_kernel=) skips the initial gram+eigh and reproduces the
+    cold-start trajectory exactly (reference kwarg, utils.py:1674-1694)."""
+    import dataclasses
+    x, r, xt, theta = _lowrank_problem()
+    cfg = FitConfig(ntilde=xt.shape[0], maxiter=4, n_estep=3, n_mstep=3,
+                    n_fparamstep=3, n_px_side=N, jit_whole_fit=False,
+                    crop_window=False)
+    cold = fit(jnp.asarray(x), jnp.asarray(r), cfg, xtilde=jnp.asarray(xt),
+               theta=theta)
+    pre = fit(jnp.asarray(x), jnp.asarray(r),
+              dataclasses.replace(cfg, maxiter=1, n_estep=0, n_mstep=0),
+              xtilde=jnp.asarray(xt), theta=theta)
+    warm = fit(jnp.asarray(x), jnp.asarray(r), cfg, xtilde=jnp.asarray(xt),
+               theta=theta, init_kernel=pre.kernel_state)
+    np.testing.assert_allclose(np.asarray(warm.track.logmarginal),
+                               np.asarray(cold.track.logmarginal),
+                               rtol=1e-12)
+
+
+def test_whole_fit_crop_fallback():
+    """When the RF outgrows the fixed whole-fit crop window, fit() must
+    auto-fall-back to the exact per-iteration tracking window instead of
+    returning a silently-wrong result."""
+    import dataclasses
+    import warnings
+    # data planted far from the initial theta guess with a small window:
+    # the M-step drags eps across the grid, escaping the initial window
+    rng = np.random.default_rng(3)
+    nt = 80
+    x = rng.standard_normal((nt, N * N))
+    lin = np.linspace(-1, 1, N)
+    yy, xx = np.meshgrid(lin, lin, indexing="ij")
+    w = np.exp(-((xx + 0.55) ** 2 + (yy - 0.55) ** 2) / (2 * 0.12 ** 2)).ravel()
+    r = rng.poisson(np.exp(1.2 * x @ (w / np.linalg.norm(w)))).astype(float)
+    theta = {"sigma_0": 1.0, "eps_0x": 0.5, "eps_0y": -0.5,
+             "-2log2beta": -2 * np.log(2 * 0.05),
+             "-log2rho2": -np.log(2 * 0.15 ** 2), "Amp": 1.0}
+    cfg = FitConfig(ntilde=nt, maxiter=5, n_estep=3, n_mstep=8,
+                    n_fparamstep=3, n_px_side=N, jit_whole_fit=True,
+                    crop_window=True, crop_bucket=2, crop_margin=1.0)
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        res = fit(jnp.asarray(x), jnp.asarray(r), cfg,
+                  xtilde=jnp.asarray(x), theta=theta)
+    msgs = [str(wi.message) for wi in wlist]
+    if any("outgrew" in m for m in msgs):
+        # fallback path taken: result must equal the exact per-iteration fit
+        exact = fit(jnp.asarray(x), jnp.asarray(r),
+                    dataclasses.replace(cfg, jit_whole_fit=False),
+                    xtilde=jnp.asarray(x), theta=theta)
+        np.testing.assert_allclose(np.asarray(res.track.logmarginal),
+                                   np.asarray(exact.track.logmarginal),
+                                   rtol=1e-10)
+    else:
+        # theta did not escape the window this run: nothing to check beyond
+        # a finite result (keep the test honest rather than vacuous)
+        assert not res.failed

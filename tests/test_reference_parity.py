@@ -255,3 +255,100 @@ def test_moments_estep_kl_parity(ref_utils, problem):
     np.testing.assert_allclose(V_orig, V_orig_ref, rtol=1e-5, atol=1e-8)
     # dropped dims exactly zero
     assert np.all(np.asarray(m_new)[~keep] == 0)
+
+
+def test_estep_variant_parity(ref_utils, problem):
+    """Damped (alpha != 1) and update_V_inv E-step variants vs the
+    reference's own paths (utils.py:1423-1457) on identical state."""
+    import torch
+    import jax.numpy as jnp
+    from gaussian_processes_tpu.ops.kernels import gram_matrices
+    from gaussian_processes_tpu.ops.stabilize import (compute_eigenspace,
+                                                      project_gram)
+    from gaussian_processes_tpu.models.moments import (
+        lambda_moments, mean_f_given_lambda_moments)
+    from gaussian_processes_tpu.models.estep import (estep_update_damped,
+                                                     estep_update_V_inv)
+
+    x, xtilde, r, theta_np = problem
+    tth = torch_theta(theta_np)
+    lower = {"sigma_0": 0., "eps_0x": -1., "eps_0y": -1.,
+             "-2log2beta": -np.inf, "-log2rho2": -np.inf, "Amp": 0.}
+    upper = {"sigma_0": np.inf, "eps_0x": 1., "eps_0y": 1.,
+             "-2log2beta": np.inf, "-log2rho2": np.inf, "Amp": np.inf}
+    C_ref, mask = ref_utils.localker(tth, upper, lower, N, grad=False)
+    xm = torch.tensor(x)[:, mask]
+    xtm = torch.tensor(xtilde)[:, mask]
+    K_tilde_t = ref_utils.acosker(tth, xtm, xtm, C=C_ref, diag=False)
+    K_t = ref_utils.acosker(tth, xm, xtm, C=C_ref, diag=False)
+    Kvec_t = ref_utils.acosker(tth, xm, x2=None, C=C_ref, diag=True)
+
+    eigvals, eigvecs = torch.linalg.eigh(K_tilde_t)
+    ikeep = eigvals > max(eigvals.max().item() * 1e-4, 1e-4)
+    B_t = eigvecs[:, ikeep]
+    K_tilde_b_t = torch.diag(eigvals[ikeep])
+    K_tilde_inv_b_t = torch.diag_embed(1 / eigvals[ikeep])
+    K_b_t = K_t @ B_t
+    a_t = K_b_t @ K_tilde_inv_b_t
+    m_t = torch.zeros(int(ikeep.sum()), dtype=torch.float64)
+    V_t = K_tilde_b_t.clone()
+    lam_m_t, lam_var_t = ref_utils.lambda_moments(
+        xm, K_tilde_b_t, a_t, Kvec_t, K_b_t, C_ref, m_t, V_t, tth,
+        kernfun=ref_utils.acosker)
+    f_params_t = {"logA": torch.log(torch.tensor(0.01, dtype=torch.float64)),
+                  "lambda0": torch.tensor(1.0, dtype=torch.float64)}
+    f_mean_t = ref_utils.mean_f_given_lambda_moments(f_params_t, lam_m_t,
+                                                     lam_var_t)
+
+    # ours, sliced to the kept coordinates (the reference's dynamic shapes)
+    jth = jax_theta(theta_np)
+    K_tilde, K, Kvec = gram_matrices(jth, jnp.asarray(x),
+                                     jnp.asarray(xtilde), N, shared=False)
+    es = compute_eigenspace(K_tilde)
+    keep = np.asarray(es.keep)
+    a = np.asarray(project_gram(es, K, shared=False))[:, keep]
+    kdiag = np.asarray(es.k_tilde_b_diag)[keep]
+    kinv = np.asarray(es.k_tilde_inv_diag)[keep]
+    m_b = jnp.zeros(int(keep.sum()), jnp.float64)
+    V_b = jnp.diag(jnp.asarray(kdiag))
+    K_b = np.asarray(jnp.matmul(K, es.B))[:, keep]
+    lam_m, lam_var = lambda_moments(jnp.asarray(a), jnp.asarray(K_b),
+                                    Kvec, m_b, V_b)
+    f_params = {"logA": jnp.float64(np.log(0.01)),
+                "lambda0": jnp.float64(1.0)}
+    f_mean = mean_f_given_lambda_moments(f_params, lam_m, lam_var)
+
+    B_np = np.asarray(es.B)[:, keep]
+    B_ref = B_t.cpu().numpy()
+
+    # ---- damped alpha=0.5 path ----
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        m_d_t, V_d_t = ref_utils.Estep(
+            r=torch.tensor(r), KKtilde_inv=a_t, m=m_t, f_params=f_params_t,
+            f_mean=f_mean_t, K_tilde=K_tilde_b_t, V=V_t, alpha=0.5)
+    m_d, V_d = estep_update_damped(jnp.asarray(r), jnp.asarray(a), m_b, V_b,
+                                   f_mean, jnp.asarray(kdiag), f_params,
+                                   alpha=0.5)
+    np.testing.assert_allclose(B_np @ np.asarray(m_d),
+                               B_ref @ m_d_t.cpu().numpy(),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(B_np @ np.asarray(V_d) @ B_np.T,
+                               B_ref @ V_d_t.cpu().numpy() @ B_ref.T,
+                               rtol=1e-5, atol=1e-8)
+
+    # ---- update_V_inv path ----
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        m_i_t, V_i_t = ref_utils.Estep(
+            r=torch.tensor(r), KKtilde_inv=a_t, m=m_t, f_params=f_params_t,
+            f_mean=f_mean_t, K_tilde_inv=K_tilde_inv_b_t, update_V_inv=True)
+    m_i, V_i = estep_update_V_inv(jnp.asarray(r), jnp.asarray(a), m_b,
+                                  f_mean, jnp.asarray(kinv), f_params)
+    np.testing.assert_allclose(B_np @ np.asarray(m_i),
+                               B_ref @ m_i_t.cpu().numpy(),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(B_np @ np.asarray(V_i) @ B_np.T,
+                               B_ref @ V_i_t.cpu().numpy() @ B_ref.T,
+                               rtol=1e-5, atol=1e-8)

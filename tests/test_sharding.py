@@ -52,8 +52,14 @@ def test_population_matches_single_cell_fits():
         f_params={k: jnp.float64(v) for k, v in FP0.items()})
     results = population_results(carry, cfg, jnp.asarray(X), lo, hi)
     assert len(results) == R.shape[0]
+    # compare against single-cell fits at the population path's RESOLVED
+    # config (fit_population switches to the vmap-linear armijo line search
+    # and gram rematerialization; both must give the same numbers per lane)
+    import dataclasses
+    cfg_single = dataclasses.replace(cfg, linesearch="armijo",
+                                     max_linesearch_steps=5, remat_gram=True)
     for c, res in enumerate(results):
-        single = fit(jnp.asarray(X), jnp.asarray(R[c]), cfg,
+        single = fit(jnp.asarray(X), jnp.asarray(R[c]), cfg_single,
                      xtilde=jnp.asarray(X),
                      theta={k: jnp.float64(v) for k, v in THETA0.items()},
                      f_params={k: jnp.float64(v) for k, v in FP0.items()})
