@@ -218,8 +218,9 @@ def masked_inverse(M: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
 def block_matrix_inverse(orig_inv: jnp.ndarray, new_column: jnp.ndarray) -> jnp.ndarray:
     """Sherman-Morrison block update for the inverse of an (N+1, N+1) matrix
     [[K, b], [b^T, d]] given inv(K) and new_column = [b; d]
-    (reference: utils.py:1055-1070, present but unused there; the active loop
-    uses it here for rank-1 growth)."""
+    (reference: utils.py:1055-1070, present but unused there).  Offered as a
+    rank-1 growth primitive; the active loop's refits instead warm-start the
+    eigenspace (models/active.py), which subsumes the O(n^2) update."""
     b = new_column[:-1]
     d = new_column[-1]
     e = orig_inv @ b

@@ -352,3 +352,50 @@ def test_estep_variant_parity(ref_utils, problem):
     np.testing.assert_allclose(B_np @ np.asarray(V_i) @ B_np.T,
                                B_ref @ V_i_t.cpu().numpy() @ B_ref.T,
                                rtol=1e-5, atol=1e-8)
+
+
+def test_posterior_parity_f32_vs_f64():
+    """BASELINE.json acceptance: posterior mean/variance of the f32 pipeline
+    match the f64 (reference-posture) pipeline to 1e-5 rel tol at FULL
+    contraction length (nx = 108^2 = 11664 — where f32 accumulation error
+    lives).  The full production shape (nt=3160, ntilde=1050) is measured by
+    benchmarks/parity_production.py (recorded in docs/numerics.md: 8.6e-6);
+    this test runs the same pipeline at nt=1024, ntilde=512 to keep the
+    suite fast while exercising the identical error mechanism."""
+    import sys as _sys
+    import jax.numpy as jnp
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                     "benchmarks"))
+    import parity_production as pp
+
+    nt, ntilde, nstar = 1024, 512, 32
+    rng = np.random.default_rng(0)
+    n_px = pp.N_PX
+    X = rng.standard_normal((nt, n_px * n_px))
+    Xstar = rng.standard_normal((nstar, n_px * n_px))
+    lin = np.linspace(-1, 1, n_px)
+    yy, xx = np.meshgrid(lin, lin, indexing="ij")
+    w = np.exp(-((xx - 0.1) ** 2 + (yy + 0.2) ** 2) / (2 * 0.1 ** 2)).ravel()
+    w /= np.linalg.norm(w)
+    R = rng.poisson(np.exp(0.8 * X @ w)).astype(np.float64)
+    Xtilde = X[rng.permutation(nt)[:ntilde]]
+    theta = {"sigma_0": 1.0, "eps_0x": 0.1, "eps_0y": -0.2,
+             "-2log2beta": -2 * np.log(2 * 0.1),
+             "-log2rho2": -np.log(2 * 0.1 ** 2), "Amp": 1.0}
+    f_params = {"logA": np.log(0.01), "lambda0": 1.0}
+
+    old_nt, old_ntilde = pp.NT, pp.NTILDE
+    pp.NT, pp.NTILDE = nt, ntilde
+    try:
+        mu64, var64, n_keep = pp.posterior_pipeline(
+            X, R, Xtilde, Xstar, theta, f_params, jnp.float64)
+        mu32, var32, _ = pp.posterior_pipeline(
+            X, R, Xtilde, Xstar, theta, f_params, jnp.float32,
+            n_keep=n_keep)
+    finally:
+        pp.NT, pp.NTILDE = old_nt, old_ntilde
+
+    rel_mu = np.max(np.abs(mu32 - mu64)) / np.max(np.abs(mu64))
+    rel_var = np.max(np.abs(var32 - var64)) / np.max(np.abs(var64))
+    assert rel_mu < 1e-5, f"posterior mean rel err {rel_mu:.2e} > 1e-5"
+    assert rel_var < 1e-5, f"posterior var rel err {rel_var:.2e} > 1e-5"
