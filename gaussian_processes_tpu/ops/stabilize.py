@@ -46,6 +46,24 @@ class Eigenspace(NamedTuple):
         return jnp.sum(self.keep)
 
 
+def _eigh_safe(M: jnp.ndarray):
+    """eigh with a non-finite-input guard.
+
+    On TPU, XLA's self-adjoint eigensolver is iterative; a NaN/Inf input
+    does not return NaNs (the CPU behavior) — it FAULTS THE DEVICE
+    (JaxRuntimeError UNAVAILABLE, unrecoverable for the process).  Every
+    eigh whose input depends on runtime data (theta after a bad step, a
+    degenerate CholQR, a diverged V) must go through this guard: the
+    factorization runs on an identity stand-in when the input is bad, and
+    the returned ``finite`` flag lets the caller poison its outputs so the
+    NaN-rollback machinery still sees the failure."""
+    finite = jnp.all(jnp.isfinite(M))
+    eye = jnp.eye(M.shape[-1], dtype=M.dtype)
+    M_safe = jnp.where(finite, M, eye)
+    eigvals, eigvecs = jnp.linalg.eigh(M_safe)
+    return eigvals, eigvecs, finite
+
+
 def compute_eigenspace(K_tilde: jnp.ndarray,
                        eigval_tol: float = EIGVAL_TOL,
                        rank: int = None) -> Eigenspace:
@@ -57,8 +75,15 @@ def compute_eigenspace(K_tilde: jnp.ndarray,
     eigenvalues this is exactly the keep-masked full-shape algebra with the
     always-zero coordinates removed; if the spectrum needs more than
     ``rank`` directions the truncation is harder than the reference rule for
-    this one call (the caller's rank budget grows on the next sync)."""
-    eigvals, eigvecs = jnp.linalg.eigh(K_tilde)
+    this one call (the caller's rank budget grows on the next sync).
+
+    A non-finite ``K_tilde`` (diverged theta) yields NaN-poisoned outputs
+    rather than a device fault — the fit's rollback sees the NaN loss and
+    reverts, matching the reference's try/except behavior."""
+    eigvals, eigvecs, finite = _eigh_safe(K_tilde)
+    poison = jnp.where(finite, 0.0, jnp.nan).astype(K_tilde.dtype)
+    eigvals = eigvals + poison
+    eigvecs = eigvecs + poison
     if rank is not None and rank < K_tilde.shape[-1]:
         eigvals = eigvals[..., -rank:]
         eigvecs = eigvecs[..., :, -rank:]
@@ -71,8 +96,11 @@ def compute_eigenspace(K_tilde: jnp.ndarray,
         B=B,
         eigvals=eigvals,
         keep=keep,
-        k_tilde_b_diag=eigvals * keepf,
-        k_tilde_inv_diag=keepf / safe,
+        # ``+ poison`` (not just ``* keepf``): XLA's simplifier rewrites
+        # mul-by-0/1-mask into a select, which would silently scrub the NaN
+        # poisoning off these outputs for non-finite inputs
+        k_tilde_b_diag=jnp.where(keep, eigvals, 0.0) + poison,
+        k_tilde_inv_diag=keepf / safe + poison,
     )
 
 
@@ -128,14 +156,16 @@ def subspace_eigenspace(K_tilde: jnp.ndarray, B_warm: jnp.ndarray,
     M = jnp.matmul(Y.T, jnp.matmul(K_tilde, Y, precision=MATMUL_PRECISION),
                    precision=MATMUL_PRECISION)
     M = 0.5 * (M + M.T)
-    eigvals, U = jnp.linalg.eigh(M)
+    # a degenerate CholQR (rank-deficient warm subspace) leaves NaNs in Y
+    # and M — the guarded eigh is mandatory (NaN input faults the TPU)
+    eigvals, U, finite = _eigh_safe(M)
     B = jnp.matmul(Y, U, precision=MATMUL_PRECISION)
     thresh = jnp.maximum(eigvals[-1] * eigval_tol, eigval_tol)
-    keep = eigvals > thresh
+    keep = (eigvals > thresh) & finite
     keepf = keep.astype(dtype)
     B = B * keepf[None, :]
     safe = jnp.where(keep, eigvals, jnp.ones_like(eigvals))
-    ok = jnp.all(jnp.isfinite(B)) & jnp.all(jnp.isfinite(eigvals))
+    ok = finite & jnp.all(jnp.isfinite(B)) & jnp.all(jnp.isfinite(eigvals))
     es = Eigenspace(
         B=jnp.where(ok, B, jnp.zeros_like(B)),
         eigvals=eigvals,
@@ -187,11 +217,14 @@ def masked_logdet_eigh(M: jnp.ndarray, keep: jnp.ndarray,
     relative threshold (reference's except-branch, utils.py:1282-1301)."""
     keepf = keep.astype(M.dtype)
     padded = M + jnp.diag(1.0 - keepf)
-    eigvals = jnp.linalg.eigvalsh(padded)
+    eigvals, _, finite = _eigh_safe(padded)
     thresh = jnp.maximum(eigvals[-1] * eigval_tol, eigval_tol)
     big = eigvals > thresh
     safe = jnp.where(big, eigvals, jnp.ones_like(eigvals))
-    return jnp.sum(jnp.log(safe))
+    # NaN (not a fabricated finite number) when M itself was non-finite,
+    # so the caller's rollback still fires
+    return jnp.where(finite, jnp.sum(jnp.log(safe)),
+                     jnp.asarray(jnp.nan, M.dtype))
 
 
 def logdet_with_fallback(M: jnp.ndarray, keep: jnp.ndarray,
