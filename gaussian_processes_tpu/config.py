@@ -137,6 +137,17 @@ class FitConfig:
     eigensolver: str = "subspace"
     subspace_power_steps: int = 2
     eigh_refresh_every: int = 8
+    # Static rank budget for WHOLE-FIT mode (jit_whole_fit=True): the init
+    # runs one full eigh and slices to the top ``whole_fit_rank``
+    # eigendirections; every EM iteration then runs the '_b' algebra at that
+    # static rank with the warm-started subspace eigensolver (periodic
+    # in-graph full-eigh refresh via lax.cond).  Exact vs the full-shape
+    # path whenever the budget covers the kept rank; fit() checks the
+    # tracked n_eigen post hoc and auto-falls back to the full-rank program
+    # if the budget ever saturated.  The active loop sets this from the
+    # previous round's kept rank — its refits drop from O(ntilde^2)-per-op
+    # to O(rank^2).  None = full rank (default).
+    whole_fit_rank: Optional[int] = None
     # Matmul precision inside the M-step objective (value + grad per
     # line-search trial — the hottest region, reference utils.py:2013-2114).
     # Its values only steer the L-BFGS line search; the tracked loss and the

@@ -106,14 +106,32 @@ def active_loop(X_pool, R_pool, start_idx, n_add: int,
     r2_hist, r2_sig_hist, ll_hist = [], [], []
 
     res = None
+    rank_budget = None
     for round_i in range(n_add + 1):
         mask = (np.arange(capacity) < n).astype(np.float64)
-        res = fit(jnp.asarray(x_buf), jnp.asarray(r_buf), cfg,
+        # Reduced-rank refits: after round 0, run the whole-fit program at a
+        # static rank budget derived from the previous round's kept rank
+        # (the kept rank grows by at most one per added point, so the
+        # bucketed budget is stable across many rounds and the compiled
+        # program is reused; fit() auto-falls back to full rank if the
+        # budget ever saturates).  This is the TPU answer to the
+        # reference's rank-1 K_tilde growth (block_matrix_inverse,
+        # utils.py:1055-1070): all square-matrix work in the refit runs at
+        # O(rank^2) instead of O(capacity^2).
+        cfg_r = cfg if rank_budget is None else dataclasses.replace(
+            cfg, whole_fit_rank=rank_budget)
+        res = fit(jnp.asarray(x_buf), jnp.asarray(r_buf), cfg_r,
                   xtilde=jnp.asarray(x_buf), theta=theta, f_params=f_params,
                   m=m_warm, V=V_warm,
                   sample_weight=jnp.asarray(mask, dtype))
         theta = res.theta
         f_params = res.f_params
+        if cfg.jit_whole_fit:
+            from .fit import _rank_bucket
+            n_eig = int(np.asarray(res.track.n_eigen).max())
+            rank_budget = _rank_bucket(n_eig + 1, cfg, capacity)
+            if rank_budget >= capacity:
+                rank_budget = None
 
         if X_test is not None and R_test is not None:
             _, _, r2, s = evaluate(res, X_test, R_test, nbootstrap=nbootstrap)

@@ -187,17 +187,22 @@ def _masked_grams(theta, x=None, xtilde=None, shared=None, cfg=None,
 
 def _build_kernel_state(theta: Theta, x, xtilde, shared: bool,
                         cfg: FitConfig, wt=None, wi=None,
-                        win=None, rank=None, es_warm=None) -> KernelState:
+                        win=None, rank=None, es_warm=None,
+                        refresh_pred=None) -> KernelState:
     K_tilde, K, Kvec = _masked_grams(theta, x, xtilde, shared, cfg, wt, wi,
                                      win)
     if es_warm is not None and rank is not None:
         # warm-started subspace Rayleigh-Ritz with full-eigh fallback on
-        # numerical failure (lax.cond: only one branch executes per call)
+        # numerical failure (lax.cond: only one branch executes per call).
+        # ``refresh_pred`` (traced bool) forces the full-eigh branch — the
+        # whole-fit program's periodic refresh, decided by the loop index
+        # in-graph (per-iteration mode decides it on the host instead).
         es_sub, ok = subspace_eigenspace(K_tilde, es_warm.B,
                                          cfg.eigval_tol,
                                          n_power=cfg.subspace_power_steps)
+        use_warm = ok if refresh_pred is None else (ok & ~refresh_pred)
         es = lax.cond(
-            ok, lambda: es_sub,
+            use_warm, lambda: es_sub,
             lambda: compute_eigenspace(K_tilde, cfg.eigval_tol, rank=rank))
     else:
         es = compute_eigenspace(K_tilde, cfg.eigval_tol, rank=rank)
@@ -388,10 +393,20 @@ def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
         if cfg.n_mstep > 0:
             rnk = m_b.shape[0]
             reduced = rnk < xtilde.shape[0]
+            warm = warm_eigh and reduced
+            # The refresh schedule is decided in-graph from the (traced)
+            # loop index: the warm program's full-eigh fallback branch
+            # doubles as the periodic refresh, so ONE compiled program
+            # serves warm and refresh iterations alike (compiles are
+            # expensive on this class of host).
+            rp = None
+            if warm and cfg.eigh_refresh_every > 0:
+                rp = (i % cfg.eigh_refresh_every) == 0
             kern_new = _build_kernel_state(
                 theta, x, xtilde, shared, cfg, wt, wi, win,
                 rank=rnk if reduced else None,
-                es_warm=kern.es if (warm_eigh and reduced) else None)
+                es_warm=kern.es if warm else None,
+                refresh_pred=rp)
             m_b, V_b = reproject(kern_new.es, kern.es, m_b, V_b)
             kern = kern_new
 
@@ -455,7 +470,11 @@ def _fit_finalize(c: Carry, cfg: FitConfig) -> Carry:
     ntilde = c.V_b.shape[0]
     V_b = 0.5 * (c.V_b + c.V_b.T)
     keepf = c.kern.es.keep.astype(dtype)
-    min_eig = jnp.min(jnp.linalg.eigvalsh(V_b + jnp.diag(1.0 - keepf)))
+    # guarded eigh: a non-finite V (failed fit, frozen carry) must not
+    # reach the TPU eigensolver (NaN input faults the device)
+    from ..ops.stabilize import _eigh_safe
+    ev, _, v_finite = _eigh_safe(V_b + jnp.diag(1.0 - keepf))
+    min_eig = jnp.where(v_finite, jnp.min(ev), jnp.asarray(jnp.nan, dtype))
     V_b = jnp.where(min_eig <= 0,
                     V_b + jnp.eye(ntilde, dtype=dtype) * cfg.eigval_tol
                     * keepf[:, None] * keepf[None, :],
@@ -525,13 +544,22 @@ def _fit_program(x, r, xtilde, theta0: Theta, f_params0: FParams,
     the final RF mask stayed inside it."""
     carry = _fit_init(x, r, xtilde, theta0, f_params0, m0, V0, has_V,
                       shared, cfg, wt, wi, win_i0, win_j0, win_w, kern0)
+    # Whole-fit reduced-rank mode: one full eigh at init, then every EM
+    # iteration runs the '_b' algebra at this static rank with the
+    # warm-started subspace eigensolver (periodic in-graph full refresh).
+    # fit() verifies post hoc that the budget never saturated.
+    rank = cfg.whole_fit_rank
+    warm = False
+    if rank is not None and rank < xtilde.shape[0]:
+        carry = _slice_carry(carry, rank, shared)
+        warm = cfg.eigensolver == "subspace"
     if cfg.maxiter > 2:
         carry = lax.fori_loop(
             1, cfg.maxiter - 1,
             lambda i, c: _fit_iteration(i, c, x, r, xtilde, shared, cfg,
                                         bounds_static, wt, wi,
                                         win_i0, win_j0, win_w,
-                                        do_mstep=True),
+                                        do_mstep=True, warm_eigh=warm),
             carry)
     if cfg.maxiter > 1:
         # final iteration: no M-step (utils.py:1999 skips it so the final
@@ -539,7 +567,8 @@ def _fit_program(x, r, xtilde, theta0: Theta, f_params0: FParams,
         carry = _fit_iteration(jnp.asarray(cfg.maxiter - 1, jnp.int32),
                                carry, x, r, xtilde, shared, cfg,
                                bounds_static, wt, wi,
-                               win_i0, win_j0, win_w, do_mstep=False)
+                               win_i0, win_j0, win_w, do_mstep=False,
+                               warm_eigh=warm)
     return _fit_finalize(carry, cfg)
 
 
@@ -573,7 +602,7 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
         sample_weight: Optional[jnp.ndarray] = None,
         inducing_weight: Optional[jnp.ndarray] = None,
         init_kernel: Optional[KernelState] = None,
-        seed: int = 0, profile: bool = False) -> FitResult:
+        mesh=None, seed: int = 0, profile: bool = False) -> FitResult:
     """Fit the spatial GP to (x, r).  The ``varGP`` equivalent.
 
     x: (nt, nx) stimuli, r: (nt,) spike counts.  All optional arguments
@@ -590,6 +619,12 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
     initial gram + eigendecomposition, matching the reference's
     ``init_kernel`` warm-start kwarg (utils.py:1674-1694; its active loop
     hands kernels across rounds this way).
+
+    ``mesh`` — a jax Mesh with a "data" axis: training points (rows of x,
+    r, K, and the moment/E-step reductions) are sharded across it and GSPMD
+    inserts the ICI collectives.  This is the big-nt scale-out of a single
+    cell's fit (the cells axis is fit_population's); numerics are identical
+    to the unsharded program.
     """
     from .. import params as P
 
@@ -636,6 +671,20 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
     wt = None if sample_weight is None else jnp.asarray(sample_weight, dtype)
     wi = None if inducing_weight is None else jnp.asarray(inducing_weight,
                                                           dtype)
+    if mesh is not None:
+        # shard the training-point axis; GSPMD propagates the sharding
+        # through the Gram rows and psums the E-step / moment reductions
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        row_sh = NamedSharding(mesh, _P("data", None))
+        vec_sh = NamedSharding(mesh, _P("data"))
+        repl = NamedSharding(mesh, _P())
+        x = jax.device_put(x, row_sh)
+        r = jax.device_put(r, vec_sh)
+        xtilde = jax.device_put(xtilde, row_sh if shared else repl)
+        if wt is not None:
+            wt = jax.device_put(wt, vec_sh)
+        if wi is not None:
+            wi = jax.device_put(wi, vec_sh if shared else repl)
     if shared and (wt is not None or wi is not None):
         # one buffer, one mask
         wt = wt if wt is not None else wi
@@ -656,6 +705,23 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
                                  has_V=has_V, shared=shared, cfg=cfg,
                                  bounds_static=bounds_static, wt=wt, wi=wi,
                                  kern0=init_kernel, **wf_win)
+        if cfg.whole_fit_rank is not None and cfg.whole_fit_rank < ntilde:
+            # The budget saturated: the keep mask filled the whole static
+            # rank, so the truncation may have been harder than the
+            # reference's eigenvalue rule.  Auto-fall-back to the exact
+            # full-rank program instead of returning a possibly-inexact fit.
+            if int(jnp.max(carry.track.n_eigen)) >= cfg.whole_fit_rank:
+                import warnings as _warnings
+                _warnings.warn(
+                    f"whole_fit_rank={cfg.whole_fit_rank} saturated "
+                    "(kept rank hit the budget); re-running at full rank")
+                return fit(x, r,
+                           dataclasses.replace(cfg, whole_fit_rank=None),
+                           xtilde=xtilde, theta=theta, f_params=f_params,
+                           m=m, V=V, sample_weight=sample_weight,
+                           inducing_weight=inducing_weight,
+                           init_kernel=init_kernel, seed=seed,
+                           profile=profile)
         if wf_win["win_w"] is not None:
             fi0, fj0, fw = crop_window_for_theta(
                 carry.theta, cfg.n_px_side, cfg.alpha_threshold,
@@ -728,7 +794,11 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
         # derived from the measured kept-rank (the reference's dynamic
         # n_eigen, utils.py:1683, realized as a handful of bucketed static
         # shapes).  n_eigen is synced together with theta's window scalars.
+        # ``cfg_it`` normalizes maxiter out of the iteration/finalize cache
+        # keys: their programs do not depend on it, and production-shape
+        # compiles cost minutes on this class of host.
         reduced = cfg.reduced_rank
+        cfg_it = dataclasses.replace(cfg, maxiter=0)
         for i in range(1, cfg.maxiter):
             # the window tracks theta between compiled calls (host sync of
             # a few scalars; w stays in a small set of bucketed sizes)
@@ -740,14 +810,16 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
                 if r_next != carry.m_b.shape[0]:
                     carry = _slice_carry_jit(carry, rank=r_next,
                                              shared=shared)
-            # warm-started subspace eigensolver between periodic full-eigh
-            # refreshes (never at i=1: the warm basis must come from a
-            # converged full factorization of the same rank)
-            warm = (reduced and cfg.eigensolver == "subspace" and i > 1
-                    and (cfg.eigh_refresh_every == 0
-                         or i % cfg.eigh_refresh_every != 0))
+            # Warm-started subspace eigensolver whenever the carry is in a
+            # reduced basis (the i=1 basis comes from init's converged full
+            # eigh, so warming is exact there too); the periodic full-eigh
+            # refresh happens IN-GRAPH via the traced i (one compiled
+            # program covers warm + refresh iterations).
+            warm = (reduced and cfg.eigensolver == "subspace"
+                    and carry.m_b.shape[0] < ntilde)
             carry = _fit_iteration_jit(jnp.asarray(i, jnp.int32), carry,
-                                       x, r, xtilde, shared=shared, cfg=cfg,
+                                       x, r, xtilde, shared=shared,
+                                       cfg=cfg_it,
                                        bounds_static=bounds_static,
                                        wt=wt, wi=wi,
                                        do_mstep=(i < cfg.maxiter - 1),
@@ -756,7 +828,7 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
             if profile:
                 jax.block_until_ready(carry.m_b)
                 timing["per_iteration"].append(_time.perf_counter() - ti)
-        carry = _fit_finalize_jit(carry, cfg=cfg)
+        carry = _fit_finalize_jit(carry, cfg=cfg_it)
         if profile:
             jax.block_until_ready(carry.m_b)
             timing["total"] = _time.perf_counter() - t0

@@ -331,3 +331,62 @@ def test_whole_fit_crop_fallback():
         # theta did not escape the window this run: nothing to check beyond
         # a finite result (keep the test honest rather than vacuous)
         assert not res.failed
+
+
+def test_whole_fit_rank_matches_full():
+    """Whole-fit reduced-rank mode (one compiled program at a static rank,
+    warm-started subspace eigensolver with in-graph periodic refresh) tracks
+    the full-rank whole-fit program.  With eigensolver="eigh" the slice is
+    exact; the subspace solver stays within line-search tolerance."""
+    import dataclasses
+    x, r, xt, theta = _lowrank_problem()
+    cfg0 = FitConfig(ntilde=xt.shape[0], maxiter=6, n_estep=3, n_mstep=3,
+                     n_fparamstep=3, n_px_side=N, jit_whole_fit=True,
+                     crop_window=False)
+    r0 = fit(jnp.asarray(x), jnp.asarray(r), cfg0, xtilde=jnp.asarray(xt),
+             theta=theta)
+    n_eig = int(np.asarray(r0.track.n_eigen).max())
+    rank = min(((n_eig + 8) + 7) // 8 * 8, xt.shape[0])
+    assert rank < xt.shape[0]
+
+    # exact slice: full eigh at the static rank every iteration
+    cfg1 = dataclasses.replace(cfg0, whole_fit_rank=rank, eigensolver="eigh")
+    r1 = fit(jnp.asarray(x), jnp.asarray(r), cfg1, xtilde=jnp.asarray(xt),
+             theta=theta)
+    assert r1.B.shape[1] == rank
+    np.testing.assert_allclose(np.asarray(r1.track.logmarginal),
+                               np.asarray(r0.track.logmarginal), rtol=1e-10)
+
+    # warm-started subspace solver: approximate, must track closely
+    cfg2 = dataclasses.replace(cfg0, whole_fit_rank=rank,
+                               eigensolver="subspace", eigh_refresh_every=4)
+    r2 = fit(jnp.asarray(x), jnp.asarray(r), cfg2, xtilde=jnp.asarray(xt),
+             theta=theta)
+    assert not r2.failed
+    np.testing.assert_allclose(np.asarray(r2.track.logmarginal),
+                               np.asarray(r0.track.logmarginal), rtol=0.02)
+
+
+def test_whole_fit_rank_saturation_falls_back():
+    """A rank budget smaller than the kept rank must trigger the exact
+    full-rank rerun, not a silently harder truncation."""
+    import dataclasses
+    import warnings
+    x, r, xt, theta = _lowrank_problem()
+    cfg0 = FitConfig(ntilde=xt.shape[0], maxiter=4, n_estep=2, n_mstep=2,
+                     n_fparamstep=2, n_px_side=N, jit_whole_fit=True,
+                     crop_window=False)
+    r0 = fit(jnp.asarray(x), jnp.asarray(r), cfg0, xtilde=jnp.asarray(xt),
+             theta=theta)
+    n_eig = int(np.asarray(r0.track.n_eigen).max())
+    assert n_eig > 4
+    cfg1 = dataclasses.replace(cfg0, whole_fit_rank=4)
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        r1 = fit(jnp.asarray(x), jnp.asarray(r), cfg1,
+                 xtilde=jnp.asarray(xt), theta=theta)
+    assert any("saturated" in str(w.message) for w in wlist)
+    # the fallback reproduces the full-rank result exactly
+    assert r1.B.shape[1] == xt.shape[0]
+    np.testing.assert_allclose(np.asarray(r1.track.logmarginal),
+                               np.asarray(r0.track.logmarginal), rtol=1e-12)

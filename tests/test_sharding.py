@@ -141,3 +141,65 @@ def test_sequential_population_helper():
         f_params={k: jnp.float64(v) for k, v in FP0.items()})
     assert len(results) == 2
     assert not any(r.failed for r in results)
+
+
+def test_large_path_small_scale():
+    """The >=50k large-ntilde path (large_gram -> large_cholesky ->
+    posterior mean), exercised at test scale: exact vs dense LAPACK on the
+    8-device virtual mesh AND on the single-device in-place route.
+    benchmarks/bench_large_ntilde.py runs the same code path at n>=50k on
+    the real chip."""
+    from gaussian_processes_tpu.parallel.large import (
+        large_cholesky, large_gram, large_posterior_mean)
+    from gaussian_processes_tpu.ops.kernels import gram_matrices
+    mesh = make_mesh(n_cells_axis=1, n_data_axis=8)
+    rng = np.random.default_rng(2)
+    theta = {k: jnp.float64(v) for k, v in THETA0.items()}
+    xt = jnp.asarray(rng.standard_normal((96, N * N)))
+    xs = jnp.asarray(rng.standard_normal((8, N * N)))
+    y = jnp.asarray(rng.standard_normal(96))
+
+    K_ref, _, _ = gram_matrices(theta, xt, xt, N, shared=True)
+    K_sh = large_gram(theta, xt, N, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(K_sh), np.asarray(K_ref),
+                               atol=1e-12)
+    assert "data" in str(K_sh.sharding.spec)
+
+    A = np.asarray(K_ref) + 0.5 * np.eye(96)
+    L_ref = np.linalg.cholesky(A)
+    # distributed route
+    L_d = large_cholesky(jnp.asarray(K_ref), mesh=mesh, jitter=0.5)
+    np.testing.assert_allclose(np.asarray(L_d), L_ref, atol=1e-10)
+    # single-device divide-and-conquer route (nb < n forces recursion)
+    L_s = large_cholesky(jnp.asarray(K_ref).copy(), mesh=None, jitter=0.5,
+                         nb=16)
+    np.testing.assert_allclose(np.asarray(L_s), L_ref, atol=1e-10)
+
+    # end-to-end posterior mean vs dense solve
+    mu, alpha = large_posterior_mean(theta, xt, y, xs, N, mesh=mesh,
+                                     noise_var=0.5, nb=16)
+    alpha_ref = np.linalg.solve(A, np.asarray(y))
+    _, K_star, _ = gram_matrices(theta, xs, xt, N, shared=False)
+    np.testing.assert_allclose(np.asarray(alpha), alpha_ref, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(mu),
+                               np.asarray(K_star) @ alpha_ref, atol=1e-9)
+
+
+def test_single_cell_fit_data_sharded():
+    """fit(mesh=) shards the training-point axis over the mesh's "data"
+    axis (the big-nt scale-out of one cell); numerics must match the
+    unsharded fit exactly."""
+    mesh = make_mesh(n_cells_axis=1, n_data_axis=8)
+    X, R = make_population(ncells=1, nt=48)
+    theta = {k: jnp.float64(v) for k, v in THETA0.items()}
+    fp = {k: jnp.float64(v) for k, v in FP0.items()}
+    cfg = FitConfig(ntilde=16, **CFG)
+    xt = jnp.asarray(X[:16]).copy()
+    r0 = fit(jnp.asarray(X), jnp.asarray(R[0]), cfg, xtilde=xt, theta=theta,
+             f_params=fp)
+    r1 = fit(jnp.asarray(X), jnp.asarray(R[0]), cfg, xtilde=xt, theta=theta,
+             f_params=fp, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(r1.track.logmarginal),
+                               np.asarray(r0.track.logmarginal), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(r1.m_b), np.asarray(r0.m_b),
+                               rtol=1e-10, atol=1e-12)
