@@ -38,9 +38,20 @@ def estep_update(r: jnp.ndarray, a: jnp.ndarray, m_b: jnp.ndarray,
     G = A * A * jnp.matmul(a.T, a * fw[:, None],
                            precision=MATMUL_PRECISION)
     ntilde = k_tilde_b_diag.shape[0]
-    lhs = jnp.eye(ntilde, dtype=a.dtype) + k_tilde_b_diag[:, None] * G
-    rhs = jnp.diag(k_tilde_b_diag)
-    V_new = jnp.linalg.solve(lhs, rhs)
+    # Symmetrized SPD solve: with K = S^2 (S = sqrt of the diagonal
+    # K_tilde_b), the update (I + K G)^-1 K == S (I + S G S)^-1 S, and
+    # I + S G S is symmetric positive definite -> Cholesky.  On TPU this
+    # matters: XLA's LU path (jnp.linalg.solve) is sequential-pivoting
+    # bound (measured 41.7 ms at rank 384, with pathological lowerings for
+    # some shapes), while the blocked Cholesky solve is matmul work
+    # (~4 ms).  Dropped eigendirections have S = 0, so their rows/cols of
+    # M collapse to identity and V_new stays exactly zero there.
+    s = jnp.sqrt(k_tilde_b_diag)
+    M = jnp.eye(ntilde, dtype=a.dtype) + s[:, None] * G * s[None, :]
+    L = jnp.linalg.cholesky(M)
+    from jax.scipy.linalg import cho_solve
+    Minv = cho_solve((L, True), jnp.eye(ntilde, dtype=a.dtype))
+    V_new = Minv * s[:, None] * s[None, :]
     m_new = jnp.matmul(V_new, jnp.matmul(G, m_b, precision=MATMUL_PRECISION) + g,
                        precision=MATMUL_PRECISION)
     V_new = 0.5 * (V_new + V_new.T)

@@ -799,6 +799,7 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
         # compiles cost minutes on this class of host.
         reduced = cfg.reduced_rank
         cfg_it = dataclasses.replace(cfg, maxiter=0)
+        n_eig_hist: list = []
         for i in range(1, cfg.maxiter):
             # the window tracks theta between compiled calls (host sync of
             # a few scalars; w stays in a small set of bucketed sizes)
@@ -806,7 +807,13 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
             wargs, n_eig = sync_scalars(
                 carry, carry.kern.es.keep if reduced else None)
             if reduced:
-                r_next = _rank_bucket(n_eig, cfg, ntilde)
+                # Budget from the MAX kept-rank of the last few syncs: the
+                # warm subspace solver's tail eigenvalues are biased low, so
+                # its kept-rank undershoots the periodic full-eigh refresh's
+                # — without the history the budget flaps between two buckets
+                # every refresh (one recompile each way) and can saturate.
+                n_eig_hist.append(n_eig)
+                r_next = _rank_bucket(max(n_eig_hist[-3:]), cfg, ntilde)
                 if r_next != carry.m_b.shape[0]:
                     carry = _slice_carry_jit(carry, rank=r_next,
                                              shared=shared)
