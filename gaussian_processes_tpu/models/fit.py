@@ -589,6 +589,19 @@ _fit_iteration_jit = jax.jit(
 _fit_finalize_jit = jax.jit(_fit_finalize, static_argnames=("cfg",))
 
 
+def _sync_probe(c: Carry):
+    """The per-iteration host-sync payload (window theta scalars + keep
+    mask), extracted as fresh small buffers.  Dispatched BEFORE the donating
+    iteration call so the host can read iteration i-1's schedule data while
+    iteration i executes on device (the carry's own buffers are donated and
+    gone by then)."""
+    th = c.theta
+    return (th["-2log2beta"], th["eps_0x"], th["eps_0y"], c.kern.es.keep)
+
+
+_sync_probe_jit = jax.jit(_sync_probe)
+
+
 # ---------------------------------------------------------------------------
 # Public entry point
 # ---------------------------------------------------------------------------
@@ -800,19 +813,29 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
         reduced = cfg.reduced_rank
         cfg_it = dataclasses.replace(cfg, maxiter=0)
         n_eig_hist: list = []
+        # Lag-1 pipelined syncs: the window/rank schedule for iteration i is
+        # decided from iteration i-2's carry, probed into fresh small
+        # buffers (``_sync_probe_jit``) before the donating iteration call.
+        # The host's device_get then only waits for an already-finished
+        # probe, so the tunnel round trip overlaps with the in-flight
+        # iteration instead of stalling the device between every pair of
+        # iterations.  The crop window's margin and the rank budget's
+        # slack+hysteresis make the one-iteration staleness exact-safe (a
+        # window is exact whenever it covers the alpha mask; a rank budget
+        # is exact whenever it covers the kept rank).
+        pending = _sync_probe_jit(carry)
         for i in range(1, cfg.maxiter):
-            # the window tracks theta between compiled calls (host sync of
-            # a few scalars; w stays in a small set of bucketed sizes)
             ti = _time.perf_counter()
-            wargs, n_eig = sync_scalars(
-                carry, carry.kern.es.keep if reduced else None)
+            got = jax.device_get(pending)
+            wargs = window_args_from(*(float(v) for v in got[:3]))
             if reduced:
                 # Budget from the MAX kept-rank of the last few syncs: the
                 # warm subspace solver's tail eigenvalues are biased low, so
                 # its kept-rank undershoots the periodic full-eigh refresh's
                 # — without the history the budget flaps between two buckets
-                # every refresh (one recompile each way) and can saturate.
-                n_eig_hist.append(n_eig)
+                # every refresh (one expensive recompile each way) and can
+                # spuriously saturate.
+                n_eig_hist.append(int(got[3].sum()))
                 r_next = _rank_bucket(max(n_eig_hist[-3:]), cfg, ntilde)
                 if r_next != carry.m_b.shape[0]:
                     carry = _slice_carry_jit(carry, rank=r_next,
@@ -824,6 +847,7 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
             # program covers warm + refresh iterations).
             warm = (reduced and cfg.eigensolver == "subspace"
                     and carry.m_b.shape[0] < ntilde)
+            pending = _sync_probe_jit(carry)
             carry = _fit_iteration_jit(jnp.asarray(i, jnp.int32), carry,
                                        x, r, xtilde, shared=shared,
                                        cfg=cfg_it,
@@ -831,7 +855,7 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
                                        wt=wt, wi=wi,
                                        do_mstep=(i < cfg.maxiter - 1),
                                        warm_eigh=warm,
-                                       **wargs)
+                                       **wargs)   # ...iteration i executes
             if profile:
                 jax.block_until_ready(carry.m_b)
                 timing["per_iteration"].append(_time.perf_counter() - ti)
