@@ -157,8 +157,13 @@ class FitConfig:
     # tests/test_fit.py.
     mstep_precision: str = "high"
     # Inner-optimizer line search.  "zoom" = optax strong-Wolfe zoom (the
-    # reference's torch.optim.LBFGS semantics; best single-lane).  "armijo"
-    # = branch-free batched-backtracking L-BFGS (optim/lbfgs.py) — the
+    # reference's torch.optim.LBFGS semantics).  "backtracking" =
+    # Armijo-only with value-cheap trials and stored accepted-point
+    # value+grad — the fastest single-lane choice: zoom pays value+grad per
+    # trial (the M-step gradient is a second Gram rebuild), backtracking
+    # pays it once per accepted step; same optimum, slightly different path
+    # (within the reference-trajectory parity tolerance).  "armijo" =
+    # branch-free batched-backtracking L-BFGS (optim/lbfgs.py) — the
     # vmap-linear choice for population fits, where zoom's cond/while_loop
     # control flow costs ~10x per lane.
     linesearch: str = "zoom"
@@ -174,10 +179,10 @@ class FitConfig:
             raise ValueError(
                 f"eigensolver must be 'eigh' or 'subspace', got "
                 f"{self.eigensolver!r}")
-        if self.linesearch not in ("zoom", "armijo"):
+        if self.linesearch not in ("zoom", "backtracking", "armijo"):
             raise ValueError(
-                f"linesearch must be 'zoom' or 'armijo', got "
-                f"{self.linesearch!r}")
+                f"linesearch must be 'zoom', 'backtracking' or 'armijo', "
+                f"got {self.linesearch!r}")
         if self.mstep_precision not in ("default", "high", "highest"):
             raise ValueError(
                 f"mstep_precision must be one of default/high/highest, got "

@@ -35,7 +35,8 @@ from ..ops.kernels import (crop_window_for_theta, gram_matrices,
 from ..ops.precision import split_matmul
 from ..ops.stabilize import (Eigenspace, compute_eigenspace, masked_inverse,
                              project_gram, reproject, subspace_eigenspace)
-from ..optim.lbfgs import lbfgs_minimize, lbfgs_minimize_armijo
+from ..optim.lbfgs import (lbfgs_minimize, lbfgs_minimize_armijo,
+                           lbfgs_minimize_backtracking)
 
 
 def _minimize(cfg: FitConfig, fun, x0, num_steps):
@@ -43,6 +44,10 @@ def _minimize(cfg: FitConfig, fun, x0, num_steps):
     if cfg.linesearch == "armijo":
         return lbfgs_minimize_armijo(fun, x0, num_steps,
                                      ls_trials=cfg.armijo_trials)
+    if cfg.linesearch == "backtracking":
+        return lbfgs_minimize_backtracking(
+            fun, x0, num_steps,
+            max_linesearch_steps=cfg.max_linesearch_steps)
     return lbfgs_minimize(fun, x0, num_steps,
                           max_linesearch_steps=cfg.max_linesearch_steps)
 from ..params import THETA_KEYS, clip_theta, theta_bounds, theta_in_bounds

@@ -37,33 +37,76 @@ def lbfgs_minimize(fun: Callable[[Any], jnp.ndarray], x0: Any,
         linesearch=optax.scale_by_zoom_linesearch(
             max_linesearch_steps=max_linesearch_steps,
             initial_guess_strategy="one"))
-    value_and_grad = optax.value_and_grad_from_state(fun)
+    return _drive_lbfgs(opt, fun, x0, num_steps)
 
-    f0 = fun(x0)
+
+def _drive_lbfgs(opt, fun, x0, num_steps) -> Tuple[Any, jnp.ndarray]:
+    """Shared L-BFGS driver with EVAL-FREE best-iterate tracking: the
+    linesearch stores the accepted point's value (and, for store_grad
+    searches, its gradient) in the optimizer state, so both the next
+    update's value+grad and the best-so-far bookkeeping reuse it instead of
+    paying one extra objective evaluation per step (~10 Gram rebuilds per
+    M-step at production shapes)."""
+    value_and_grad = optax.value_and_grad_from_state(fun)
     state0 = opt.init(x0)
 
     def step(carry, _):
         x, state, x_best, f_best = carry
         value, grad = value_and_grad(x, state=state)
+        # best-iterate bookkeeping for the CURRENT point, from the stored
+        # (or, at step 0, freshly computed) value — no extra evaluation
+        better = jnp.isfinite(value) & (value < f_best)
+        x_best = jax.tree_util.tree_map(
+            lambda b, c: jnp.where(better, c, b), x_best, x)
+        f_best = jnp.where(better, value, f_best)
         updates, state = opt.update(grad, state, x, value=value, grad=grad,
                                     value_fn=fun)
         x_new = optax.apply_updates(x, updates)
         # Freeze on non-finite parameters (divergent line search).
         bad = ~jnp.all(jnp.asarray(
-            [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree_util.tree_leaves(x_new)]))
+            [jnp.all(jnp.isfinite(leaf))
+             for leaf in jax.tree_util.tree_leaves(x_new)]))
         x_new = jax.tree_util.tree_map(
             lambda new, old: jnp.where(bad, old, new), x_new, x)
-        f_new = fun(x_new)
-        better = jnp.isfinite(f_new) & (f_new < f_best)
-        x_best = jax.tree_util.tree_map(
-            lambda b, n: jnp.where(better, n, b), x_best, x_new)
-        f_best = jnp.where(better, f_new, f_best)
-        return (x_new, state, x_best, f_best), f_new
+        return (x_new, state, x_best, f_best), value
 
-    f_best0 = jnp.where(jnp.isfinite(f0), f0, jnp.inf)
-    (xf, _, x_best, f_best), _ = jax.lax.scan(
+    f_best0 = jnp.asarray(jnp.inf, jnp.result_type(float))
+    (xf, state_f, x_best, f_best), _ = jax.lax.scan(
         step, (x0, state0, x0, f_best0), None, length=num_steps)
+    # fold the final iterate in (its value is stored in the state)
+    value_f, _ = optax.value_and_grad_from_state(fun)(xf, state=state_f)
+    better = jnp.isfinite(value_f) & (value_f < f_best)
+    x_best = jax.tree_util.tree_map(
+        lambda b, c: jnp.where(better, c, b), x_best, xf)
+    f_best = jnp.where(better, value_f, f_best)
     return x_best, f_best
+
+
+def lbfgs_minimize_backtracking(fun: Callable[[Any], jnp.ndarray], x0: Any,
+                                num_steps: int, memory_size: int = 15,
+                                max_linesearch_steps: int = 15
+                                ) -> Tuple[Any, jnp.ndarray]:
+    """L-BFGS with Armijo backtracking (sufficient-decrease only) instead of
+    the strong-Wolfe zoom.
+
+    Offered as an alternative single-lane mode; reference-trajectory parity
+    is pinned by tests/test_fit.py::test_backtracking_linesearch_trajectory_
+    parity.  Measured on the production fit it does NOT beat zoom (18.8 s vs
+    16.8 s headline): with ``store_grad=True`` optax evaluates value+grad
+    per backtracking trial — the same per-trial cost as zoom — and zoom's
+    interpolation needs fewer trials.  Kept because the Armijo semantics are
+    more robust to noisy objectives (no curvature test to fail) and the
+    sufficient-decrease-only search is what some lab configs expect.
+
+    Same contract as ``lbfgs_minimize``.
+    """
+    opt = optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_backtracking_linesearch(
+            max_backtracking_steps=max_linesearch_steps,
+            decrease_factor=0.5, increase_factor=2.0,
+            store_grad=True))
+    return _drive_lbfgs(opt, fun, x0, num_steps)
 
 
 def lbfgs_minimize_armijo(fun: Callable[[Any], jnp.ndarray], x0: Any,

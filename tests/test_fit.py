@@ -150,6 +150,53 @@ def test_vargp_trajectory_parity():
     assert our_loss[-1] <= ref_loss[-1] * 1.01
 
 
+def test_backtracking_linesearch_trajectory_parity():
+    """The Armijo-backtracking L-BFGS (cheap value-only trials, stored
+    accepted-point grad — the fast TPU M-step mode) must track the
+    reference trajectory within the same 2% tolerance as the zoom mode and
+    finish at least as well."""
+    import dataclasses
+    import torch
+    sys.path.insert(0, REF_PATH)
+    try:
+        import utils as ref
+    finally:
+        sys.path.remove(REF_PATH)
+
+    x, r = synthetic_problem()
+    MAXITER, NE, NM, NF = 6, 5, 5, 5
+    tth = {k: torch.tensor(v, dtype=torch.float64).requires_grad_(True)
+           for k, v in THETA0.items()}
+    f_params_t = {"logA": torch.log(torch.tensor(0.01)).requires_grad_(True),
+                  "lambda0": torch.tensor(1.0)}
+    lower = {"sigma_0": 0., "eps_0x": -1., "eps_0y": -1.,
+             "-2log2beta": -np.inf, "-log2rho2": -np.inf, "Amp": 0.}
+    upper = {"sigma_0": np.inf, "eps_0x": 1., "eps_0y": 1.,
+             "-2log2beta": np.inf, "-log2rho2": np.inf, "Amp": np.inf}
+    fm, err = ref.varGP(
+        torch.tensor(x), torch.tensor(r),
+        fit_parameters={"ntilde": x.shape[0], "maxiter": MAXITER,
+                        "nEstep": NE, "nMstep": NM, "nFparamstep": NF,
+                        "kernfun": "acosker", "cellid": 0, "n_px_side": N,
+                        "display_hyper": False},
+        xtilde=torch.tensor(x), hyperparams_tuple=(tth, lower, upper),
+        f_params=f_params_t)
+    assert not err["is_error"]
+    ref_loss = -fm["values_track"]["loss_track"]["logmarginal"].cpu().numpy()
+
+    cfg = FitConfig(ntilde=x.shape[0], maxiter=MAXITER, n_estep=NE,
+                    n_mstep=NM, n_fparamstep=NF, n_px_side=N,
+                    linesearch="backtracking")
+    jth = {k: jnp.float64(v) for k, v in THETA0.items()}
+    jfp = {k: jnp.float64(v) for k, v in FP0.items()}
+    res = fit(jnp.asarray(x), jnp.asarray(r), cfg, xtilde=jnp.asarray(x),
+              theta=jth, f_params=jfp)
+    our_loss = -np.asarray(res.track.logmarginal)
+    np.testing.assert_allclose(our_loss[0], ref_loss[0], rtol=1e-8)
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=0.02)
+    assert our_loss[-1] <= ref_loss[-1] * 1.01
+
+
 def test_whole_fit_vs_per_iteration_modes():
     """jit_whole_fit=True (one program) and False (host-driven iterations)
     must be numerically identical."""
