@@ -4,23 +4,34 @@ Reference baseline (BASELINE.md): the stored one_cell_fit.ipynb:cell8 run —
 maxiter=30, nEstep=10, nMstep=10, 3,160 training images of 108x108 pixels,
 ntilde=2100 inducing points (cell2 config), float64 on the lab GPU — took
 85.2 s.  This benchmark runs the same fit configuration (synthetic data at
-identical shapes, f32 + HIGHEST-precision matmuls) as ONE jit-compiled
-program on a single TPU chip and reports the wall-clock of the compiled
-program (compile excluded; it is amortized across cells/sessions in
+identical shapes, f32 + HIGHEST-precision matmuls) as per-iteration
+jit-compiled programs on a single TPU chip and reports the wall-clock of the
+compiled fit (compile excluded; it is amortized across cells/sessions in
 practice).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": ..., "unit": "s", "vs_baseline": speedup}
+
+Robustness: compiles through the dev tunnel cost minutes per program and a
+cold .jax_cache once consumed an entire driver budget (round 2: rc=124, no
+output).  A watchdog thread therefore ALWAYS emits the JSON line before
+GPTPU_BENCH_BUDGET seconds elapse (default 1500): with whatever measurement
+exists at that point (the warm-up run's wall-clock as a provisional value,
+marked "provisional": true), or value=inf if not even the warm-up finished.
+The watchdog runs in a separate thread so it fires even while the main
+thread is blocked inside a native compile call.
 """
 
 import json
 import os
 import sys
+import threading
 import time
 
 # Gradient matmuls at single-pass bf16: the M-step line search only needs
-# the descent direction; validated to leave the loss trajectory identical to
-# ~1e-6 relative (see docs/numerics.md).  Must be set before package import.
+# the descent direction; measured A/B on the headline config leaves the loss
+# trajectory within the line-search tolerance (see docs/numerics.md).  Must
+# be set before package import.
 os.environ.setdefault("GPTPU_GRAD_PRECISION", "default")
 
 import numpy as np
@@ -36,6 +47,61 @@ N_ESTEP = 10
 N_MSTEP = 10
 N_FPARAMSTEP = 10
 
+# Shared mutable record the watchdog reads.  "elapsed" is the timed run,
+# "warm_elapsed" the warm-up (compile-inclusive) run.
+_state = {"elapsed": None, "warm_elapsed": None, "ok": False, "done": False,
+          "phase": "startup"}
+_emit_lock = threading.Lock()
+_emitted = False
+
+
+def _emit(value, ok, provisional=False, extra=None):
+    """Print the one JSON result line exactly once."""
+    global _emitted
+    with _emit_lock:
+        if _emitted:
+            return
+        _emitted = True
+        rec = {
+            "metric": "one_cell_fit_wallclock",
+            "value": round(value, 3) if np.isfinite(value) else float("inf"),
+            "unit": "s",
+            "vs_baseline": (round(BASELINE_SECONDS / value, 2)
+                            if ok and np.isfinite(value) and value > 0
+                            else 0.0),
+        }
+        if provisional:
+            rec["provisional"] = True
+        if extra:
+            rec.update(extra)
+        print(json.dumps(rec), flush=True)
+
+
+def _watchdog(budget_s: float):
+    deadline = time.monotonic() + budget_s
+    while time.monotonic() < deadline:
+        if _state["done"]:
+            return
+        time.sleep(1.0)
+    if _state["done"]:
+        return
+    # Budget exhausted: emit the best number we have and hard-exit (the
+    # main thread may be stuck inside a native compile and uninterruptible).
+    if _state["elapsed"] is not None:
+        _emit(_state["elapsed"], _state["ok"])
+    elif _state["warm_elapsed"] is not None:
+        # the warm-up run IS a complete fit (compile included): a valid
+        # upper bound on the wall-clock
+        _emit(_state["warm_elapsed"], True, provisional=True,
+              extra={"note": "warm-up (compile-inclusive) time; timed run "
+                             "did not finish within GPTPU_BENCH_BUDGET"})
+    else:
+        _emit(float("inf"), False, provisional=True,
+              extra={"note": f"compile did not finish within budget "
+                             f"(phase={_state['phase']})"})
+    sys.stdout.flush()
+    os._exit(3)
+
 
 def make_data(seed=0):
     rng = np.random.default_rng(seed)
@@ -50,6 +116,9 @@ def make_data(seed=0):
 
 
 def main():
+    budget = float(os.environ.get("GPTPU_BENCH_BUDGET", "1500"))
+    threading.Thread(target=_watchdog, args=(budget,), daemon=True).start()
+
     import jax
     # Persistent compilation cache: the tunnel'd remote compiler is slow
     # (minutes per program at these shapes); cache across processes.
@@ -85,7 +154,9 @@ def main():
     cfg = FitConfig(ntilde=NTILDE, maxiter=MAXITER, n_estep=N_ESTEP,
                     n_mstep=N_MSTEP, n_fparamstep=N_FPARAMSTEP,
                     n_px_side=N_PX, track_variational=False,
-                    jit_whole_fit=False)
+                    jit_whole_fit=False,
+                    linesearch=os.environ.get("GPTPU_BENCH_LINESEARCH",
+                                              "speculative"))
 
     def run():
         res = fit(X, R, cfg, xtilde=xtilde, theta=theta, f_params=f_params)
@@ -93,13 +164,20 @@ def main():
         return res
 
     # warm-up (compile)
+    _state["phase"] = "warmup"
+    tw = time.perf_counter()
     res = run()
+    _state["warm_elapsed"] = time.perf_counter() - tw
+    _state["phase"] = "timed"
     t0 = time.perf_counter()
     res = run()
     elapsed = time.perf_counter() - t0
+    _state["elapsed"] = elapsed
 
     loss = np.asarray(res.track.logmarginal)
     ok = bool(np.all(np.isfinite(loss))) and not res.failed
+    _state["ok"] = ok
+    _state["done"] = True
 
     # quality check on held-out repeated responses from the same planted RF
     try:
@@ -115,17 +193,13 @@ def main():
         _, _, r2, s2 = evaluate(res, jnp.asarray(Xt), jnp.asarray(Rt),
                                 nbootstrap=200)
         print(f"[bench] loss {-loss[0]:.1f} -> {-loss[-1]:.1f}; "
-              f"held-out r2 = {float(r2):.3f} +/- {float(s2):.3f}",
+              f"held-out r2 = {float(r2):.3f} +/- {float(s2):.3f}; "
+              f"warm-up {_state['warm_elapsed']:.1f} s",
               file=sys.stderr)
     except Exception as e:
         print(f"[bench] quality check failed: {e}", file=sys.stderr)
     value = elapsed if ok else float("inf")
-    print(json.dumps({
-        "metric": "one_cell_fit_wallclock",
-        "value": round(value, 3),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_SECONDS / value, 2) if ok else 0.0,
-    }))
+    _emit(value, ok)
 
 
 if __name__ == "__main__":

@@ -100,6 +100,15 @@ class FitConfig:
     lr_fparams: float = 0.1           # reference: utils.py:1895
     lr_hyperparams: float = 0.1       # reference: utils.py:2009
     track_variational: bool = True    # record (m_b, V_b) per iteration
+    # Also record the stabilized basis B per iteration.  The reference
+    # reconstructs any tracked iteration with a fresh eigh
+    # (utils.py:358-386) because its per-iteration eigh is deterministic in
+    # theta; here the warm-started subspace eigensolver's Rayleigh-Ritz
+    # basis is NOT reproducible from theta alone, so exact
+    # ``state_at_iteration`` under reduced-rank/subspace runs requires the
+    # stored basis.  Off by default (maxiter x ntilde x ntilde memory);
+    # ``state_at_iteration`` raises when it would need it.
+    track_basis: bool = False
     jit_whole_fit: bool = True        # compile the entire EM loop as one program
     # Static crop window around the RF (exact — cropped pixels carry zero
     # kernel weight).  Active only in per-iteration mode
@@ -157,16 +166,28 @@ class FitConfig:
     # tests/test_fit.py.
     mstep_precision: str = "high"
     # Inner-optimizer line search.  "zoom" = optax strong-Wolfe zoom (the
-    # reference's torch.optim.LBFGS semantics).  "backtracking" =
-    # Armijo-only with value-cheap trials and stored accepted-point
-    # value+grad — the fastest single-lane choice: zoom pays value+grad per
-    # trial (the M-step gradient is a second Gram rebuild), backtracking
-    # pays it once per accepted step; same optimum, slightly different path
-    # (within the reference-trajectory parity tolerance).  "armijo" =
-    # branch-free batched-backtracking L-BFGS (optim/lbfgs.py) — the
-    # vmap-linear choice for population fits, where zoom's cond/while_loop
-    # control flow costs ~10x per lane.
+    # reference's torch.optim.LBFGS semantics; the default).  "speculative"
+    # = Armijo L-BFGS that evaluates value+grad at the unit step and only
+    # falls back to value-only backtracking trials on rejection — ~1
+    # value+grad per step vs zoom's measured ~2.7 (optim/lbfgs.py), the
+    # fastest single-lane choice; reference-trajectory parity is pinned by
+    # tests/test_fit.py.  "backtracking" = optax Armijo backtracking with
+    # stored accepted-point value+grad (optax evaluates value+grad per
+    # trial; measured slower than zoom — kept for robustness to noisy
+    # objectives).  "armijo" = branch-free batched-backtracking L-BFGS —
+    # the vmap-linear choice for population fits, where zoom's
+    # cond/while_loop control flow costs ~10x per lane.
     linesearch: str = "zoom"
+    # Carry the M-step L-BFGS curvature memory (S, Y pairs) across EM
+    # iterations (linesearch="speculative" only).  theta moves little
+    # between EM iterations — the same observation behind the warm-started
+    # subspace eigensolver — so each M-step starts with the previous
+    # iteration's curvature instead of re-learning it: the unit step is
+    # well-scaled from step one and the speculative accept almost never
+    # wastes its gradient.  Staleness is safe (non-descent directions fall
+    # back to steepest descent; the Armijo test rejects bad steps; pairs
+    # are stored only when s'y > 0 on the current objective).
+    mstep_memory: bool = True
     armijo_trials: int = 6
     # Strong-Wolfe zoom line-search trial budget per L-BFGS step.  Under
     # vmap (population fits) the zoom while_loop runs to the all-lanes-done
@@ -179,14 +200,22 @@ class FitConfig:
             raise ValueError(
                 f"eigensolver must be 'eigh' or 'subspace', got "
                 f"{self.eigensolver!r}")
-        if self.linesearch not in ("zoom", "backtracking", "armijo"):
+        if self.linesearch not in ("zoom", "speculative", "backtracking",
+                                   "armijo"):
             raise ValueError(
-                f"linesearch must be 'zoom', 'backtracking' or 'armijo', "
-                f"got {self.linesearch!r}")
+                f"linesearch must be 'zoom', 'speculative', 'backtracking' "
+                f"or 'armijo', got {self.linesearch!r}")
         if self.mstep_precision not in ("default", "high", "highest"):
             raise ValueError(
                 f"mstep_precision must be one of default/high/highest, got "
                 f"{self.mstep_precision!r}")
+        if self.whole_fit_rank is not None and not self.jit_whole_fit:
+            import warnings
+            warnings.warn(
+                "whole_fit_rank is only used by the whole-fit program "
+                "(jit_whole_fit=True); the per-iteration path derives its "
+                "rank budget from the measured kept-rank instead "
+                "(reduced_rank/rank_* knobs) and ignores whole_fit_rank")
 
     def resolve_ntilde(self, nt: int) -> int:
         if self.ntilde is not None:

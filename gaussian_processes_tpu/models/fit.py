@@ -35,8 +35,10 @@ from ..ops.kernels import (crop_window_for_theta, gram_matrices,
 from ..ops.precision import split_matmul
 from ..ops.stabilize import (Eigenspace, compute_eigenspace, masked_inverse,
                              project_gram, reproject, subspace_eigenspace)
-from ..optim.lbfgs import (lbfgs_minimize, lbfgs_minimize_armijo,
-                           lbfgs_minimize_backtracking)
+from ..optim.lbfgs import (empty_lbfgs_memory, lbfgs_minimize,
+                           lbfgs_minimize_armijo,
+                           lbfgs_minimize_backtracking,
+                           lbfgs_minimize_speculative)
 
 
 def _minimize(cfg: FitConfig, fun, x0, num_steps):
@@ -48,8 +50,19 @@ def _minimize(cfg: FitConfig, fun, x0, num_steps):
         return lbfgs_minimize_backtracking(
             fun, x0, num_steps,
             max_linesearch_steps=cfg.max_linesearch_steps)
+    if cfg.linesearch == "speculative":
+        x, f, _ = lbfgs_minimize_speculative(
+            fun, x0, num_steps, max_backtracks=cfg.max_linesearch_steps)
+        return x, f
     return lbfgs_minimize(fun, x0, num_steps,
                           max_linesearch_steps=cfg.max_linesearch_steps)
+
+
+def _mstep_carries_memory(cfg: FitConfig) -> bool:
+    """True when the M-step L-BFGS curvature memory is threaded through the
+    EM carry (cross-iteration warm start; speculative line search only)."""
+    return (cfg.linesearch == "speculative" and cfg.mstep_memory
+            and cfg.n_mstep > 0)
 from ..params import THETA_KEYS, clip_theta, theta_bounds, theta_in_bounds
 from .estep import estep_update
 from .moments import (kl_divergence, lambda0_given_logA, lambda_moments,
@@ -81,6 +94,10 @@ class Track(NamedTuple):
     n_eigen: jnp.ndarray
     m_b: jnp.ndarray        # (maxiter, ntilde) or (maxiter, 0)
     V_b: jnp.ndarray        # (maxiter, ntilde, ntilde) or (maxiter, 0, 0)
+    B: jnp.ndarray          # (maxiter, ntilde, ntilde) or (maxiter, ntilde, 0)
+                            # — the stabilized basis per iteration, recorded
+                            # only when cfg.track_basis (exact
+                            # state_at_iteration under warm-basis runs)
 
 
 class Carry(NamedTuple):
@@ -94,6 +111,9 @@ class Carry(NamedTuple):
     track: Track
     failed: jnp.ndarray      # bool scalar
     failed_at: jnp.ndarray   # int scalar, -1 if clean
+    # M-step L-BFGS memory carried across EM iterations — (S, Y, rho, age)
+    # when _mstep_carries_memory(cfg), else the empty pytree ()
+    mem: Any = ()
 
 
 @dataclasses.dataclass
@@ -122,6 +142,10 @@ class FitResult:
     failed: bool
     failed_at: int
     timing: Optional[Dict[str, Any]] = None
+    # True when any EM iteration ran the warm-started subspace eigensolver:
+    # the per-iteration bases are then Rayleigh-Ritz bases NOT reproducible
+    # from theta alone (state_at_iteration needs cfg.track_basis).
+    used_warm_basis: bool = False
 
     @property
     def mask(self) -> jnp.ndarray:
@@ -312,6 +336,9 @@ def _track_update(track: Track, i, loss_tuple, theta, f_params, es, m_b, V_b,
         off = t.m_b.shape[1] - m_b.shape[0]
         t = t._replace(m_b=t.m_b.at[i, off:].set(m_b),
                        V_b=t.V_b.at[i, off:, off:].set(V_b))
+        if t.B.shape[2] > 0:
+            offb = t.B.shape[2] - es.B.shape[1]
+            t = t._replace(B=t.B.at[i, :, offb:].set(es.B))
     return t
 
 
@@ -349,6 +376,7 @@ def _fit_init(x, r, xtilde, theta0: Theta, f_params0: FParams, m0, V0,
     kl0 = kl_divergence(m_b, V_b, es)
 
     nvar = ntilde if cfg.track_variational else 0
+    nbas = ntilde if (cfg.track_variational and cfg.track_basis) else 0
     track = Track(
         logmarginal=jnp.zeros(maxiter, dtype),
         loglikelihood=jnp.zeros(maxiter, dtype),
@@ -359,12 +387,15 @@ def _fit_init(x, r, xtilde, theta0: Theta, f_params0: FParams, m0, V0,
         n_eigen=jnp.zeros(maxiter, jnp.int32),
         m_b=jnp.zeros((maxiter, nvar), dtype),
         V_b=jnp.zeros((maxiter, nvar, nvar), dtype),
+        B=jnp.zeros((maxiter, ntilde, nbas), dtype),
     )
     track = _track_update(track, 0, (ell0, kl0), theta0, f_params0, es,
                           m_b, V_b, cfg)
 
+    mem = (empty_lbfgs_memory(len(THETA_KEYS), dtype)
+           if _mstep_carries_memory(cfg) else ())
     return Carry(theta0, f_params0, m_b, V_b, kern, lambda_m, lambda_var,
-                 track, jnp.asarray(False), jnp.asarray(-1, jnp.int32))
+                 track, jnp.asarray(False), jnp.asarray(-1, jnp.int32), mem)
 
 
 def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
@@ -438,16 +469,22 @@ def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
         # M-step on theta with the eigenspace fixed; the caller skips it in
         # the last iteration so the final state matches its eigenspace
         # (utils.py:1999-2114).
+        mem = c.mem
         if cfg.n_mstep > 0 and do_mstep:
             obj = partial(_mstep_objective, x=x, xtilde=xtilde, r=r,
                           es=kern.es, m_b=m_b, V_b=V_b,
                           f_params=f_params, shared=shared, cfg=cfg,
                           lower=lower, upper=upper, wt=wt, wi=wi,
                           win=win)
-            theta, _ = _minimize(cfg, obj, theta, cfg.n_mstep)
+            if _mstep_carries_memory(cfg):
+                theta, _, mem = lbfgs_minimize_speculative(
+                    obj, theta, cfg.n_mstep,
+                    max_backtracks=cfg.max_linesearch_steps, memory=c.mem)
+            else:
+                theta, _ = _minimize(cfg, obj, theta, cfg.n_mstep)
 
         new = Carry(theta, f_params, m_b, V_b, kern, lambda_m, lambda_var,
-                    track, c.failed, c.failed_at)
+                    track, c.failed, c.failed_at, mem)
 
         # Rollback on numerical failure (reference except-handlers,
         # utils.py:2127-2189): revert to the iteration-start state and
@@ -708,7 +745,12 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
         wt = wt if wt is not None else wi
         wi = wi if wi is not None else wt
     timing = None
+    used_warm = False
     if cfg.jit_whole_fit:
+        used_warm = (cfg.whole_fit_rank is not None
+                     and cfg.whole_fit_rank < ntilde
+                     and cfg.eigensolver == "subspace"
+                     and cfg.n_mstep > 0 and cfg.maxiter > 1)
         # fixed crop window from the initial theta (doubled margin); checked
         # against the final mask below
         wf_win = dict(win_i0=None, win_j0=None, win_w=None)
@@ -738,7 +780,7 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
                            xtilde=xtilde, theta=theta, f_params=f_params,
                            m=m, V=V, sample_weight=sample_weight,
                            inducing_weight=inducing_weight,
-                           init_kernel=init_kernel, seed=seed,
+                           init_kernel=init_kernel, mesh=mesh, seed=seed,
                            profile=profile)
         if wf_win["win_w"] is not None:
             fi0, fj0, fw = crop_window_for_theta(
@@ -762,7 +804,7 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
                            xtilde=xtilde, theta=theta, f_params=f_params,
                            m=m, V=V, sample_weight=sample_weight,
                            inducing_weight=inducing_weight,
-                           init_kernel=init_kernel, seed=seed,
+                           init_kernel=init_kernel, mesh=mesh, seed=seed,
                            profile=profile)
     else:
         import os as _os
@@ -828,11 +870,43 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
         # slack+hysteresis make the one-iteration staleness exact-safe (a
         # window is exact whenever it covers the alpha mask; a rank budget
         # is exact whenever it covers the kept rank).
+        def window_covers(wargs_used, lb, ex, ey):
+            """True when the (possibly full-frame) window dispatched earlier
+            still covers the margin-1.0 alpha mask of the probed theta."""
+            if wargs_used is None or wargs_used["win_w"] is None:
+                return True
+            fi0, fj0, fw = crop_window_from_scalars(
+                lb, ex, ey, cfg.n_px_side, cfg.alpha_threshold, 1.0, 1)
+            i0v = int(wargs_used["win_i0"])
+            j0v = int(wargs_used["win_j0"])
+            w0 = wargs_used["win_w"]
+            return (fi0 >= i0v and fj0 >= j0v
+                    and fi0 + fw <= i0v + w0 and fj0 + fw <= j0v + w0)
+
+        def warn_window(it):
+            import warnings as _warnings
+            _warnings.warn(
+                f"crop window used at EM iteration {it} no longer covers "
+                "the RF alpha mask of the iteration's resulting theta "
+                "(fast-drifting RF outran the lag-1 window schedule); that "
+                "iteration's kernels were inexact.  Increase crop_margin "
+                "or disable crop_window for this cell.")
+
+        # Retroactive exactness check for the lag-1 pipelined window
+        # schedule: when iteration i-2's end-state probe arrives, verify the
+        # window DISPATCHED for iteration i-2 still covers its resulting
+        # theta's margin-1.0 alpha mask (the whole-fit path has the same
+        # post-hoc check against its fixed window).
+        wargs_used: dict = {}
         pending = _sync_probe_jit(carry)
         for i in range(1, cfg.maxiter):
             ti = _time.perf_counter()
             got = jax.device_get(pending)
-            wargs = window_args_from(*(float(v) for v in got[:3]))
+            probed = tuple(float(v) for v in got[:3])
+            wargs = window_args_from(*probed)
+            if cfg.crop_window and i - 2 in wargs_used:
+                if not window_covers(wargs_used.pop(i - 2), *probed):
+                    warn_window(i - 2)
             if reduced:
                 # Budget from the MAX kept-rank of the last few syncs: the
                 # warm subspace solver's tail eigenvalues are biased low, so
@@ -852,7 +926,9 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
             # program covers warm + refresh iterations).
             warm = (reduced and cfg.eigensolver == "subspace"
                     and carry.m_b.shape[0] < ntilde)
+            used_warm = used_warm or warm
             pending = _sync_probe_jit(carry)
+            wargs_used[i] = wargs
             carry = _fit_iteration_jit(jnp.asarray(i, jnp.int32), carry,
                                        x, r, xtilde, shared=shared,
                                        cfg=cfg_it,
@@ -865,6 +941,14 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
                 jax.block_until_ready(carry.m_b)
                 timing["per_iteration"].append(_time.perf_counter() - ti)
         carry = _fit_finalize_jit(carry, cfg=cfg_it)
+        if cfg.crop_window and wargs_used:
+            # the last one/two dispatched windows were never probed in-loop;
+            # check them against the final theta
+            fin = tuple(float(v)
+                        for v in jax.device_get(_sync_probe_jit(carry))[:3])
+            for it, wu in sorted(wargs_used.items()):
+                if not window_covers(wu, *fin):
+                    warn_window(it)
         if profile:
             jax.block_until_ready(carry.m_b)
             timing["total"] = _time.perf_counter() - t0
@@ -881,4 +965,5 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
         a=kern.a, track=carry.track,
         failed=bool(carry.failed), failed_at=int(carry.failed_at),
         timing=timing if (not cfg.jit_whole_fit and profile) else None,
+        used_warm_basis=used_warm,
     )

@@ -63,9 +63,23 @@ def predict(result, xstar: jnp.ndarray):
 
 def state_at_iteration(result, iteration: int):
     """Reconstruct the model state at a tracked iteration (the reference's
-    ``test(..., at_iteration=k)`` path, utils.py:358-386): rebuild the
-    kernels and eigenspace from the tracked theta — eigh on the same matrix
-    reproduces the tracked basis — and pair with the tracked (m_b, V_b)."""
+    ``test(..., at_iteration=k)`` path, utils.py:358-386).
+
+    Two routes:
+
+    * Basis tracked (``cfg.track_basis``): pair the stored per-iteration
+      basis B with the tracked (m_b, V_b) — exact in every mode, including
+      warm-started subspace-eigensolver runs whose Rayleigh-Ritz bases are
+      not reproducible from theta alone.  ``k_tilde_b_diag`` is rebuilt as
+      ``diag(B^T K_tilde B)`` (exactly the Ritz values the fit used).
+    * Basis not tracked: rebuild with a fresh full eigh of K_tilde(theta_i),
+      which reproduces the tracked basis only when the fit's per-iteration
+      eigenspaces came from deterministic full eigh decompositions.  When
+      the fit used the warm subspace eigensolver (``result.used_warm_basis``)
+      this pairing would be silently approximate — raise instead.
+    """
+    from ..ops.stabilize import Eigenspace
+
     t = result.track
     theta = {k: v[iteration] for k, v in t.theta.items()}
     f_params = {"logA": t.logA[iteration], "lambda0": t.lambda0[iteration]}
@@ -77,6 +91,26 @@ def state_at_iteration(result, iteration: int):
     K_tilde, _, _ = gram_matrices(theta, result.xtilde, result.xtilde,
                                   result.config.n_px_side, shared=True,
                                   alpha_threshold=result.config.alpha_threshold)
+    if t.B.shape[2] > 0:
+        B = t.B[iteration]
+        keep = jnp.sum(B * B, axis=0) > 0.5        # zero cols = dropped/pad
+        keepf = keep.astype(B.dtype)
+        kb = jnp.sum(B * jnp.matmul(K_tilde, B,
+                                    precision=MATMUL_PRECISION), axis=0)
+        kb = kb * keepf
+        safe = jnp.where(keep, kb, jnp.ones_like(kb))
+        es = Eigenspace(B=B, eigvals=kb, keep=keep, k_tilde_b_diag=kb,
+                        k_tilde_inv_diag=keepf / safe)
+        return theta, f_params, m_b, V_b, es
+    if getattr(result, "used_warm_basis", False):
+        raise ValueError(
+            "this fit used the warm-started subspace eigensolver: its "
+            "per-iteration bases are Rayleigh-Ritz bases that a fresh eigh "
+            "of K_tilde(theta_i) does NOT reproduce, so reconstructing "
+            f"iteration {iteration} from theta alone would be silently "
+            "approximate.  Refit with FitConfig(track_basis=True) (stores "
+            "the basis per iteration), or evaluate the final state "
+            "(at_iteration=None), or use eigensolver='eigh'.")
     es = compute_eigenspace(K_tilde, result.config.eigval_tol)
     return theta, f_params, m_b, V_b, es
 

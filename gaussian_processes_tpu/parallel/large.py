@@ -63,8 +63,17 @@ def _chol_inplace_dc(A: jnp.ndarray, nb: int) -> jnp.ndarray:
     return jnp.concatenate([top, bottom], axis=0)
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnames=("nb",))
-def _chol_single_device(A: jnp.ndarray, nb: int = 4096) -> jnp.ndarray:
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("nb", "jitter"))
+def _chol_single_device(A: jnp.ndarray, nb: int = 4096,
+                        jitter: float = 0.0) -> jnp.ndarray:
+    # Jitter is folded in HERE, inside the donated program, as a diagonal
+    # scatter-add: `A + jitter*eye(n)` at the call site would materialize a
+    # dense n x n identity plus an un-donated sum (20 GB extra at n=50k f32)
+    # and break the donation chain into the factorization.
+    if jitter:
+        n = A.shape[0]
+        idx = jnp.arange(n)
+        A = A.at[idx, idx].add(jnp.asarray(jitter, A.dtype))
     return _chol_inplace_dc(A, nb)
 
 
@@ -94,12 +103,12 @@ def large_cholesky(A: jnp.ndarray, mesh: Optional[Mesh] = None,
                    nb: int = 4096) -> jnp.ndarray:
     """Lower Cholesky factor at large n: distributed over ``mesh[axis]``
     when it has more than one device, else the memory-lean single-device
-    divide-and-conquer factorization (donated input)."""
-    if jitter:
-        A = A + jitter * jnp.eye(A.shape[0], dtype=A.dtype)
+    divide-and-conquer factorization (donated input).  Jitter is applied
+    inside the factorization programs as a diagonal add — never as a dense
+    ``jitter*eye(n)`` sum at this scale."""
     if mesh is not None and mesh.shape.get(axis, 1) > 1:
-        return distributed_cholesky(A, mesh, axis=axis)
-    return _chol_single_device(A, nb=nb)
+        return distributed_cholesky(A, mesh, axis=axis, jitter=jitter)
+    return _chol_single_device(A, nb=nb, jitter=jitter)
 
 
 def large_posterior_mean(theta, xtilde: jnp.ndarray, y: jnp.ndarray,

@@ -104,7 +104,10 @@ def distributed_cholesky(A: jnp.ndarray, mesh: Mesh, axis: str = "data",
     npad = nb * p
     dtype = A.dtype
     if jitter:
-        A = A + jitter * jnp.eye(n, dtype=dtype)
+        # diagonal scatter-add, not `A + jitter*eye(n)`: a dense identity at
+        # n=50k f32 is 10 GB and the sum un-donates the input buffer
+        idx = jnp.arange(n)
+        A = A.at[idx, idx].add(jnp.asarray(jitter, dtype))
     if npad != n:
         Ap = jnp.eye(npad, dtype=dtype)
         Ap = Ap.at[:n, :n].set(A)

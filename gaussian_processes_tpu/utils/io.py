@@ -127,11 +127,30 @@ def save_model_orbax(result, directory: str,
     payload.pop("timing", None)
     arrays = {k: v for k, v in payload.items()
               if k not in ("theta_lower", "theta_upper", "failed",
-                           "failed_at")}
+                           "failed_at", "used_warm_basis")}
+    # Orbax refuses zero-size arrays (e.g. the track's empty m_b/V_b/B
+    # slots when tracking is off): prune them and record their
+    # shape/dtype so load reconstructs the exact pytree.
+    import jax.tree_util as jtu
+
+    def _path_keys(kp):
+        return [str(getattr(e, "key", getattr(e, "name",
+                                              getattr(e, "idx", e))))
+                for e in kp]
+
+    flat, treedef = jtu.tree_flatten_with_path(arrays)
+    empty = [( _path_keys(kp), list(np.shape(v)),
+               str(np.asarray(v).dtype))
+             for kp, v in flat if np.size(v) == 0]
+    arrays = jtu.tree_map(
+        lambda v: None if np.size(v) == 0 else v, arrays)
     scalars = {"failed": bool(payload["failed"]),
                "failed_at": int(payload["failed_at"]),
+               "used_warm_basis": bool(payload.get("used_warm_basis",
+                                                   False)),
                "theta_lower": payload["theta_lower"],
                "theta_upper": payload["theta_upper"],
+               "empty_arrays": empty,
                "config": cfg_dict}
 
     with ocp.StandardCheckpointer() as ckptr:
@@ -157,6 +176,13 @@ def load_model_orbax(directory: str):
     with open(os.path.join(directory, "meta.json")) as f:
         scalars = json.load(f)
     cfg = FitConfig(**scalars["config"])
+    # restore pruned zero-size arrays (see save_model_orbax); orbax
+    # restores namedtuples as plain dicts, so every path entry is a dict key
+    for parts, shape, dtype in scalars.get("empty_arrays", []):
+        node = arrays
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = np.zeros(shape, dtype)
     track = arrays.pop("track")
     if isinstance(track, dict):
         track = Track(**track)
@@ -164,4 +190,6 @@ def load_model_orbax(directory: str):
                      theta_lower=scalars["theta_lower"],
                      theta_upper=scalars["theta_upper"],
                      failed=scalars["failed"],
-                     failed_at=scalars["failed_at"], **arrays)
+                     failed_at=scalars["failed_at"],
+                     used_warm_basis=scalars.get("used_warm_basis", False),
+                     **arrays)

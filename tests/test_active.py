@@ -29,6 +29,7 @@ THETA0 = {"sigma_0": 1.0, "eps_0x": 0.0, "eps_0y": 0.0,
 FP0 = {"logA": np.log(0.01), "lambda0": 1.0}
 
 
+@pytest.mark.slow
 def test_padded_fit_matches_unpadded():
     """A fit on n active points inside a capacity-C padded buffer must give
     the same physics as the fit on the n points alone: identical loss
@@ -65,6 +66,7 @@ def test_padded_fit_matches_unpadded():
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_active_loop_runs_and_improves():
     X, R, lam, w = make_pool(npool=80)
     rng = np.random.default_rng(9)
@@ -88,6 +90,7 @@ def test_active_loop_runs_and_improves():
     assert np.all(np.isfinite(out.r2_history))
 
 
+@pytest.mark.slow
 def test_active_loop_random_baseline():
     X, R, _, _ = make_pool(npool=50)
     cfg = FitConfig(maxiter=2, n_estep=2, n_mstep=0, n_fparamstep=3,
@@ -115,6 +118,7 @@ def test_block_matrix_inverse_rank1_growth():
                                rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_ab_experiment():
     from gaussian_processes_tpu.models.active import ab_experiment
     X, R, _, _ = make_pool(npool=40)

@@ -56,6 +56,7 @@ def test_dataset_pickle_roundtrip(tmp_path):
         ds.save(p)
 
 
+@pytest.mark.slow
 def test_model_save_load_roundtrip(tmp_path):
     ds = small_ds()
     X, R = ds.full_train()

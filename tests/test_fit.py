@@ -42,6 +42,7 @@ def run_ours(x, r, maxiter=6, ne=5, nm=5, nf=5, **kw):
                theta=jth, f_params=jfp, **kw)
 
 
+@pytest.mark.slow
 def test_fit_loss_decreases_and_recovers_rf():
     x, r = synthetic_problem()
     res = run_ours(x, r)
@@ -71,6 +72,7 @@ def test_fit_estep_only():
         assert float(res.theta[k]) == pytest.approx(v)
 
 
+@pytest.mark.slow
 def test_fit_failure_rollback():
     """A NaN in the data must trigger the rollback path: the fit freezes at
     the failing iteration with the last good state preserved (the
@@ -85,6 +87,7 @@ def test_fit_failure_rollback():
         assert np.isfinite(float(res.theta[k]))
 
 
+@pytest.mark.slow
 def test_tracking_shapes():
     x, r = synthetic_problem()
     res = run_ours(x, r, maxiter=3)
@@ -96,6 +99,7 @@ def test_tracking_shapes():
     assert int(vt["n_eigen_track"][0]) > 0
 
 
+@pytest.mark.slow
 def test_track_variational_off():
     x, r = synthetic_problem()
     cfg = FitConfig(ntilde=x.shape[0], maxiter=3, n_estep=2, n_mstep=2,
@@ -109,6 +113,7 @@ def test_track_variational_off():
 
 @pytest.mark.skipif(not os.path.isdir(REF_PATH),
                     reason="reference checkout not available")
+@pytest.mark.slow
 def test_vargp_trajectory_parity():
     """Loss trajectory within 2% of the reference varGP on identical inputs,
     identical (to fp) at iteration 0, and a final loss at least as good."""
@@ -150,11 +155,14 @@ def test_vargp_trajectory_parity():
     assert our_loss[-1] <= ref_loss[-1] * 1.01
 
 
-def test_backtracking_linesearch_trajectory_parity():
-    """The Armijo-backtracking L-BFGS (cheap value-only trials, stored
-    accepted-point grad — the fast TPU M-step mode) must track the
-    reference trajectory within the same 2% tolerance as the zoom mode and
-    finish at least as well."""
+@pytest.mark.slow
+@pytest.mark.parametrize("linesearch", ["backtracking", "speculative"])
+def test_backtracking_linesearch_trajectory_parity(linesearch):
+    """The non-zoom L-BFGS line searches — Armijo backtracking (value-cheap
+    trials, stored accepted-point grad) and the speculative-accept Armijo
+    search with cross-EM-iteration curvature memory (the fast TPU M-step
+    mode) — must track the reference trajectory within the same 2%
+    tolerance as the zoom mode and finish at least as well."""
     import dataclasses
     import torch
     sys.path.insert(0, REF_PATH)
@@ -186,7 +194,7 @@ def test_backtracking_linesearch_trajectory_parity():
 
     cfg = FitConfig(ntilde=x.shape[0], maxiter=MAXITER, n_estep=NE,
                     n_mstep=NM, n_fparamstep=NF, n_px_side=N,
-                    linesearch="backtracking")
+                    linesearch=linesearch)
     jth = {k: jnp.float64(v) for k, v in THETA0.items()}
     jfp = {k: jnp.float64(v) for k, v in FP0.items()}
     res = fit(jnp.asarray(x), jnp.asarray(r), cfg, xtilde=jnp.asarray(x),
@@ -197,6 +205,7 @@ def test_backtracking_linesearch_trajectory_parity():
     assert our_loss[-1] <= ref_loss[-1] * 1.01
 
 
+@pytest.mark.slow
 def test_whole_fit_vs_per_iteration_modes():
     """jit_whole_fit=True (one program) and False (host-driven iterations)
     must be numerically identical."""
@@ -214,6 +223,7 @@ def test_whole_fit_vs_per_iteration_modes():
                                   np.asarray(res_iter.m_b))
 
 
+@pytest.mark.slow
 def test_cropped_fit_matches_full():
     """Per-iteration fit with the static crop window active matches the
     uncropped fit to fp roundoff."""
@@ -233,6 +243,7 @@ def test_cropped_fit_matches_full():
                                np.asarray(rF.track.logmarginal), rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_golden_regression_values():
     """Seeded end-to-end regression: stored f64 CPU golden values (the
     framework's own analog of the reference's stored loss trajectory,
@@ -271,6 +282,7 @@ def _lowrank_problem(nt=100, ntilde=60, seed=0):
     return x, r, x[:ntilde].copy(), theta
 
 
+@pytest.mark.slow
 def test_reduced_rank_matches_full_shape():
     """The bucketed static-rank slice is exactly the keep-masked full-shape
     algebra (dropped coordinates are exact zeros)."""
@@ -298,6 +310,7 @@ def test_reduced_rank_matches_full_shape():
                                rtol=1e-8, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_subspace_eigensolver_tracks_eigh():
     """Warm-started Rayleigh-Ritz stays within a small tolerance of the
     full-eigh trajectory (it is an approximation: the basis drifts by the
@@ -320,6 +333,7 @@ def test_subspace_eigensolver_tracks_eigh():
     np.testing.assert_allclose(l1, l0, rtol=0.02)
 
 
+@pytest.mark.slow
 def test_init_kernel_warm_start():
     """fit(init_kernel=) skips the initial gram+eigh and reproduces the
     cold-start trajectory exactly (reference kwarg, utils.py:1674-1694)."""
@@ -340,6 +354,7 @@ def test_init_kernel_warm_start():
                                rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_whole_fit_crop_fallback():
     """When the RF outgrows the fixed whole-fit crop window, fit() must
     auto-fall-back to the exact per-iteration tracking window instead of
@@ -380,6 +395,7 @@ def test_whole_fit_crop_fallback():
         assert not res.failed
 
 
+@pytest.mark.slow
 def test_whole_fit_rank_matches_full():
     """Whole-fit reduced-rank mode (one compiled program at a static rank,
     warm-started subspace eigensolver with in-graph periodic refresh) tracks
@@ -414,6 +430,7 @@ def test_whole_fit_rank_matches_full():
                                np.asarray(r0.track.logmarginal), rtol=0.02)
 
 
+@pytest.mark.slow
 def test_whole_fit_rank_saturation_falls_back():
     """A rank budget smaller than the kept rank must trigger the exact
     full-rank rerun, not a silently harder truncation."""
@@ -437,3 +454,31 @@ def test_whole_fit_rank_saturation_falls_back():
     assert r1.B.shape[1] == xt.shape[0]
     np.testing.assert_allclose(np.asarray(r1.track.logmarginal),
                                np.asarray(r0.track.logmarginal), rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_speculative_memory_modes_identical():
+    """The speculative L-BFGS with cross-EM-iteration curvature memory must
+    produce identical trajectories in whole-fit (memory in the fori_loop
+    carry) and per-iteration (memory in the host-held, donated carry)
+    modes."""
+    import dataclasses
+    x, r = synthetic_problem()
+    base = FitConfig(ntilde=x.shape[0], maxiter=4, n_estep=3, n_mstep=3,
+                     n_fparamstep=3, n_px_side=N, linesearch="speculative")
+    jth = {k: jnp.float64(v) for k, v in THETA0.items()}
+    jfp = {k: jnp.float64(v) for k, v in FP0.items()}
+    res_w = fit(jnp.asarray(x), jnp.asarray(r), base, xtilde=jnp.asarray(x),
+                theta=jth, f_params=jfp)
+    res_i = fit(jnp.asarray(x), jnp.asarray(r),
+                dataclasses.replace(base, jit_whole_fit=False),
+                xtilde=jnp.asarray(x), theta=jth, f_params=jfp)
+    np.testing.assert_array_equal(np.asarray(res_w.track.logmarginal),
+                                  np.asarray(res_i.track.logmarginal))
+    np.testing.assert_array_equal(np.asarray(res_w.m_b),
+                                  np.asarray(res_i.m_b))
+    # the memory must actually help: with it, the M-step should accept the
+    # speculative unit step almost always — check the fit improved and the
+    # theta track moved every iteration (a frozen memory bug would stall it)
+    lm = np.asarray(res_w.track.logmarginal)
+    assert lm[-1] > lm[0]

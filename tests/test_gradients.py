@@ -8,6 +8,7 @@ for jax.grad through the production M-step objective, plus finite-difference
 checks as an independent referee."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -68,6 +69,7 @@ def analytic_mstep_grad(theta, x, xtilde, r, es, m_b, V_b, f_params):
     return {k: -(dell[k] - dkl[k]) for k in dell}
 
 
+@pytest.mark.slow
 def test_mstep_autodiff_matches_analytic():
     x, xtilde, r, theta, f_params = setup()
     cfg = FitConfig(ntilde=NTILDE, n_px_side=N)

@@ -111,6 +111,7 @@ def test_evaluate_full(fitted):
     assert float(r2) > 0.2
 
 
+@pytest.mark.slow
 def test_evaluate_at_iteration(fitted):
     res, xt, R_test, lam_t, _ = fitted
     _, rates0, r2_0, _ = evaluate(res, xt, R_test, at_iteration=0,
@@ -169,3 +170,72 @@ def test_prediction_parity_with_reference(fitted):
                                rtol=1e-5, atol=1e-8)
     np.testing.assert_allclose(np.asarray(var_ours), np.array(vars_),
                                rtol=1e-5, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# state_at_iteration under warm-basis (reduced-rank subspace) runs
+# ---------------------------------------------------------------------------
+
+def _warm_basis_fit(track_basis: bool, maxiter: int):
+    """A per-iteration reduced-rank fit whose rank budget forces the
+    warm-started subspace eigensolver (the headline bench configuration,
+    shrunk to CPU scale)."""
+    import dataclasses
+    rng = np.random.default_rng(11)
+    nt = 160
+    x = rng.standard_normal((nt, N * N))
+    lin = np.linspace(-1, 1, N)
+    yy, xx = np.meshgrid(lin, lin, indexing="ij")
+    w = np.exp(-((xx - 0.1) ** 2 + (yy + 0.2) ** 2) / (2 * 0.25 ** 2)).ravel()
+    w = w / np.linalg.norm(w)
+    r = rng.poisson(np.exp(0.7 * x @ w)).astype(float)
+    cfg = FitConfig(ntilde=nt, maxiter=maxiter, n_estep=3, n_mstep=3,
+                    n_fparamstep=4, n_px_side=N, jit_whole_fit=False,
+                    reduced_rank=True, eigensolver="subspace",
+                    rank_bucket=8, rank_pad=2, rank_slack=1.2,
+                    track_basis=track_basis)
+    theta = {"sigma_0": 1.0, "eps_0x": 0.0, "eps_0y": 0.0,
+             "-2log2beta": -2 * np.log(2 * 0.12),
+             "-log2rho2": -np.log(2 * 0.4 ** 2), "Amp": 1.0}
+    res = fit(jnp.asarray(x), jnp.asarray(r), cfg, xtilde=jnp.asarray(x),
+              theta={k: jnp.float64(v) for k, v in theta.items()},
+              f_params={"logA": jnp.float64(np.log(0.01)),
+                        "lambda0": jnp.float64(1.0)})
+    xt = rng.standard_normal((10, N * N))
+    return res, xt
+
+
+@pytest.mark.slow
+def test_state_at_iteration_warm_basis_exact():
+    """With track_basis=True, state_at_iteration is exact in warm-basis
+    runs: predictions from the reconstructed iteration-k state must match a
+    fresh fit stopped at k (whose final state IS iteration k's tracked
+    state: tracking happens before the M-step and the last iteration skips
+    it)."""
+    from gaussian_processes_tpu.models.inference import predict_rates
+
+    k = 3
+    res_long, xt = _warm_basis_fit(track_basis=True, maxiter=6)
+    assert res_long.used_warm_basis, (
+        "config did not trigger the warm subspace eigensolver; "
+        "the test setup no longer exercises the intended mode")
+    res_short, _ = _warm_basis_fit(track_basis=True, maxiter=k + 1)
+
+    theta_k, fp_k, m_k, V_k, es = state_at_iteration(res_long, k)
+    rates_k, _, _ = predict_rates(
+        jnp.asarray(xt), res_long.xtilde, theta_k, fp_k, m_k, V_k, es.B,
+        es.k_tilde_b_diag, es.k_tilde_inv_diag,
+        n_px_side=res_long.config.n_px_side)
+    rates_s, _, _ = predict(res_short, jnp.asarray(xt))
+    np.testing.assert_allclose(np.asarray(rates_k), np.asarray(rates_s),
+                               rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_state_at_iteration_warm_basis_fence():
+    """Without the tracked basis, reconstructing a warm-basis iteration
+    from theta alone would be silently approximate: it must raise."""
+    res, _ = _warm_basis_fit(track_basis=False, maxiter=4)
+    assert res.used_warm_basis
+    with pytest.raises(ValueError, match="subspace eigensolver"):
+        state_at_iteration(res, 2)

@@ -147,6 +147,7 @@ def test_kernel_symmetric_psd(rng):
     assert eig.min() > -1e-8
 
 
+@pytest.mark.slow
 def test_crop_window_exactness():
     """A crop window covering the RF mask reproduces the full-grid kernels
     to fp roundoff (the cropped pixels all carry zero weight)."""

@@ -2,6 +2,7 @@
 same code compiles with Mosaic on TPU — exercised by bench.py)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from gaussian_processes_tpu.ops.kernels import gram_matrices
@@ -16,6 +17,7 @@ def theta32():
     return {k: jnp.float32(v) for k, v in vals.items()}
 
 
+@pytest.mark.slow
 def test_pallas_gram_matches_xla():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((20, N * N)), jnp.float32)

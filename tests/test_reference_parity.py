@@ -114,6 +114,7 @@ def test_acosker_parity(ref_utils, problem):
                                rtol=5e-7, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_acosker_gradient_parity(ref_utils, problem):
     """Reference analytic dK/dtheta vs our analytic_grads module AND
     jax.grad of our kernel — three-way agreement."""
@@ -354,6 +355,7 @@ def test_estep_variant_parity(ref_utils, problem):
                                rtol=1e-5, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_posterior_parity_f32_vs_f64():
     """BASELINE.json acceptance: posterior mean/variance of the f32 pipeline
     match the f64 (reference-posture) pipeline to 1e-5 rel tol at FULL

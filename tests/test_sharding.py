@@ -43,6 +43,7 @@ def test_devices_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_population_matches_single_cell_fits():
     X, R = make_population()
     cfg = FitConfig(ntilde=X.shape[0], **CFG)
@@ -69,6 +70,7 @@ def test_population_matches_single_cell_fits():
                                    rtol=1e-7, err_msg=f"cell {c}")
 
 
+@pytest.mark.slow
 def test_population_sharded_over_mesh():
     """cells x data mesh: same numbers as the unsharded program."""
     X, R = make_population(ncells=4, nt=32)
@@ -131,6 +133,7 @@ def test_sharded_gram_matches_unsharded():
     assert "data" in str(K.sharding.spec)
 
 
+@pytest.mark.slow
 def test_sequential_population_helper():
     from gaussian_processes_tpu.parallel import fit_cells_sequential
     X, R = make_population(ncells=2, nt=24)
@@ -143,6 +146,7 @@ def test_sequential_population_helper():
     assert not any(r.failed for r in results)
 
 
+@pytest.mark.slow
 def test_large_path_small_scale():
     """The >=50k large-ntilde path (large_gram -> large_cholesky ->
     posterior mean), exercised at test scale: exact vs dense LAPACK on the
@@ -185,6 +189,7 @@ def test_large_path_small_scale():
                                np.asarray(K_star) @ alpha_ref, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_single_cell_fit_data_sharded():
     """fit(mesh=) shards the training-point axis over the mesh's "data"
     axis (the big-nt scale-out of one cell); numerics must match the
