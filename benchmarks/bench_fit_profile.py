@@ -40,7 +40,9 @@ def main():
     cfg = FitConfig(ntilde=bench.NTILDE, maxiter=maxiter,
                     n_estep=bench.N_ESTEP, n_mstep=bench.N_MSTEP,
                     n_fparamstep=bench.N_FPARAMSTEP, n_px_side=bench.N_PX,
-                    track_variational=False, jit_whole_fit=False)
+                    track_variational=False, jit_whole_fit=False,
+                    linesearch=os.environ.get("GPTPU_BENCH_LINESEARCH",
+                                              "speculative"))
 
     for run in range(2):
         t0 = time.perf_counter()

@@ -178,6 +178,32 @@ class FitConfig:
     # the vmap-linear choice for population fits, where zoom's
     # cond/while_loop control flow costs ~10x per lane.
     linesearch: str = "zoom"
+    # Inner SPD solver of the E-step Newton update.  "schulz" warm-starts
+    # each Newton step's (I + S G S)^-1 from the previous step's inverse via
+    # Newton-Schulz iteration (pure MXU matmuls; in-graph exact-Cholesky
+    # fallback on residual failure) — the small-matrix triangular-solve
+    # latency (~4 ms/step at rank ~384, docs/tpu_linalg.md) disappears from
+    # 9 of every 10 Newton steps.  "chol" = exact Cholesky solve every step.
+    estep_solver: str = "schulz"
+    # Inverse of the projected K_tilde_b inside the M-step objective (one
+    # per line-search evaluation — the hottest region).  "schulz" seeds
+    # Newton-Schulz with the fixed eigenspace's k_tilde_inv_diag (exact at
+    # the iteration-start theta; line-search trials stay nearby), with the
+    # exact inverse as in-graph fallback.  "exact" = jnp.linalg.inv
+    # (measured 3.2 ms of LU latency per evaluation at rank 384).
+    mstep_inverse: str = "schulz"
+    # Newton-Schulz iteration count for both knobs above (each step is two
+    # rank x rank matmuls; quadratic convergence, residual-guarded with a
+    # 3-step lag so any ACCEPTED result sits at the machine floor).
+    schulz_steps: int = 12
+    # Non-convergence fallback of the M-step warm inverse.  "exact": in-graph
+    # lax.cond exact inverse — trajectory-identical to mstep_inverse="exact",
+    # LU paid only on actual fallbacks (single-cell default).  "poison":
+    # branchless NaN-poison, turning the trial's loss into +inf so the line
+    # search backtracks toward the seed — for vmapped population fits, where
+    # a cond with a batched predicate would pay batched LU on EVERY call
+    # (fit_population sets this automatically).
+    schulz_fallback: str = "exact"
     # Carry the M-step L-BFGS curvature memory (S, Y pairs) across EM
     # iterations (linesearch="speculative" only).  theta moves little
     # between EM iterations — the same observation behind the warm-started
@@ -188,6 +214,9 @@ class FitConfig:
     # back to steepest descent; the Armijo test rejects bad steps; pairs
     # are stored only when s'y > 0 on the current objective).
     mstep_memory: bool = True
+    # Batched-ladder length: the "armijo" mode's per-step trial count, and
+    # the "speculative" mode's rejection ladder (one batched value call of
+    # alphas 0.5..0.5^armijo_trials when the unit step fails Armijo).
     armijo_trials: int = 6
     # Strong-Wolfe zoom line-search trial budget per L-BFGS step.  Under
     # vmap (population fits) the zoom while_loop runs to the all-lanes-done
@@ -205,6 +234,18 @@ class FitConfig:
             raise ValueError(
                 f"linesearch must be 'zoom', 'speculative', 'backtracking' "
                 f"or 'armijo', got {self.linesearch!r}")
+        if self.estep_solver not in ("chol", "schulz"):
+            raise ValueError(
+                f"estep_solver must be 'chol' or 'schulz', got "
+                f"{self.estep_solver!r}")
+        if self.mstep_inverse not in ("exact", "schulz"):
+            raise ValueError(
+                f"mstep_inverse must be 'exact' or 'schulz', got "
+                f"{self.mstep_inverse!r}")
+        if self.schulz_fallback not in ("exact", "poison"):
+            raise ValueError(
+                f"schulz_fallback must be 'exact' or 'poison', got "
+                f"{self.schulz_fallback!r}")
         if self.mstep_precision not in ("default", "high", "highest"):
             raise ValueError(
                 f"mstep_precision must be one of default/high/highest, got "

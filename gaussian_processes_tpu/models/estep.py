@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import jax.numpy as jnp
+from jax import lax
 
 from ..config import MATMUL_PRECISION
 
@@ -24,10 +25,23 @@ from ..config import MATMUL_PRECISION
 def estep_update(r: jnp.ndarray, a: jnp.ndarray, m_b: jnp.ndarray,
                  f_mean: jnp.ndarray, k_tilde_b_diag: jnp.ndarray,
                  f_params: Dict[str, jnp.ndarray],
-                 weight: jnp.ndarray = None
+                 weight: jnp.ndarray = None,
+                 Minv_warm: jnp.ndarray = None,
+                 use_warm: jnp.ndarray = None,
+                 schulz_steps: int = 12, schulz_tol: float = 1e-3,
+                 return_minv: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One Newton update of (m_b, V_b).  ``a`` is KKtilde_inv_b.
-    ``weight`` masks padded training points out of the Newton sums."""
+    ``weight`` masks padded training points out of the Newton sums.
+
+    ``Minv_warm``/``use_warm``: optional warm start for the inner SPD
+    inverse.  Successive Newton steps change ``f`` (and hence ``M = I +
+    S G S``) less and less, so the previous step's inverse seeds a
+    Newton-Schulz iteration (``ops/stabilize.schulz_iterations`` — pure MXU
+    matmuls, no triangular-solve latency) with an in-graph exact-Cholesky
+    fallback when the residual check fails.  ``use_warm`` is a traced bool
+    (False on the first Newton step of an iteration, where no seed exists).
+    With ``return_minv=True`` the updated inverse is returned for carrying."""
     A = jnp.exp(f_params["logA"])
     resid = r - f_mean
     fw = f_mean
@@ -48,13 +62,29 @@ def estep_update(r: jnp.ndarray, a: jnp.ndarray, m_b: jnp.ndarray,
     # M collapse to identity and V_new stays exactly zero there.
     s = jnp.sqrt(k_tilde_b_diag)
     M = jnp.eye(ntilde, dtype=a.dtype) + s[:, None] * G * s[None, :]
-    L = jnp.linalg.cholesky(M)
-    from jax.scipy.linalg import cho_solve
-    Minv = cho_solve((L, True), jnp.eye(ntilde, dtype=a.dtype))
+
+    def solve_exact():
+        from jax.scipy.linalg import cho_solve
+        L = jnp.linalg.cholesky(M)
+        return cho_solve((L, True), jnp.eye(ntilde, dtype=a.dtype))
+
+    if Minv_warm is None:
+        Minv = solve_exact()
+    else:
+        from ..ops.stabilize import schulz_iterations
+
+        def solve_warm():
+            X, res = schulz_iterations(M, Minv_warm, schulz_steps)
+            return lax.cond(res < schulz_tol, lambda: X, solve_exact)
+
+        uw = use_warm if use_warm is not None else jnp.asarray(True)
+        Minv = lax.cond(uw, solve_warm, solve_exact)
     V_new = Minv * s[:, None] * s[None, :]
     m_new = jnp.matmul(V_new, jnp.matmul(G, m_b, precision=MATMUL_PRECISION) + g,
                        precision=MATMUL_PRECISION)
     V_new = 0.5 * (V_new + V_new.T)
+    if return_minv:
+        return m_new, V_new, Minv
     return m_new, V_new
 
 

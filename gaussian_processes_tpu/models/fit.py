@@ -34,7 +34,8 @@ from ..ops.kernels import (crop_window_for_theta, gram_matrices,
                            gram_matrices_windowed, local_envelope)
 from ..ops.precision import split_matmul
 from ..ops.stabilize import (Eigenspace, compute_eigenspace, masked_inverse,
-                             project_gram, reproject, subspace_eigenspace)
+                             masked_inverse_warm, project_gram, reproject,
+                             subspace_eigenspace)
 from ..optim.lbfgs import (empty_lbfgs_memory, lbfgs_minimize,
                            lbfgs_minimize_armijo,
                            lbfgs_minimize_backtracking,
@@ -52,7 +53,7 @@ def _minimize(cfg: FitConfig, fun, x0, num_steps):
             max_linesearch_steps=cfg.max_linesearch_steps)
     if cfg.linesearch == "speculative":
         x, f, _ = lbfgs_minimize_speculative(
-            fun, x0, num_steps, max_backtracks=cfg.max_linesearch_steps)
+            fun, x0, num_steps, max_backtracks=cfg.armijo_trials)
         return x, f
     return lbfgs_minimize(fun, x0, num_steps,
                           max_linesearch_steps=cfg.max_linesearch_steps)
@@ -254,13 +255,27 @@ def _fparam_objective(logA, r, lambda_m, lambda_var, wt=None):
 def _estep_block(x, r, kern: KernelState, m_b, V_b, f_params, lambda_m,
                  lambda_var, cfg: FitConfig, wt=None):
     """n_estep Newton updates on (m_b, V_b), each followed by an L-BFGS
-    update of logA with closed-form lambda0 (reference: utils.py:1859-1943)."""
+    update of logA with closed-form lambda0 (reference: utils.py:1859-1943).
 
-    def body(_, state):
-        m_b, V_b, f_params, lambda_m, lambda_var = state
+    With ``cfg.estep_solver == "schulz"`` the inner SPD inverse of every
+    Newton step after the first is warm-started from the previous step's
+    inverse via Newton-Schulz (exact-Cholesky fallback in-graph): f moves
+    less and less between Newton steps, so the seed converges in a few MXU
+    matmuls and the per-step triangular-solve latency disappears."""
+    schulz = cfg.estep_solver == "schulz"
+
+    def body(i, state):
+        m_b, V_b, f_params, lambda_m, lambda_var, Minv = state
         f_mean = mean_f_given_lambda_moments(f_params, lambda_m, lambda_var)
-        m_b, V_b = estep_update(r, kern.a, m_b, f_mean,
-                                kern.es.k_tilde_b_diag, f_params, weight=wt)
+        if schulz:
+            m_b, V_b, Minv = estep_update(
+                r, kern.a, m_b, f_mean, kern.es.k_tilde_b_diag, f_params,
+                weight=wt, Minv_warm=Minv, use_warm=(i > 0),
+                schulz_steps=cfg.schulz_steps, return_minv=True)
+        else:
+            m_b, V_b = estep_update(r, kern.a, m_b, f_mean,
+                                    kern.es.k_tilde_b_diag, f_params,
+                                    weight=wt)
         lambda_m, lambda_var = lambda_moments(kern.a, kern.K_b, kern.Kvec,
                                               m_b, V_b)
         logA, _ = _minimize(
@@ -270,10 +285,13 @@ def _estep_block(x, r, kern: KernelState, m_b, V_b, f_params, lambda_m,
             f_params["logA"], cfg.n_fparamstep)
         lam0 = lambda0_given_logA(logA, r, lambda_m, lambda_var, weight=wt)
         f_params = {"logA": logA, "lambda0": lam0}
-        return m_b, V_b, f_params, lambda_m, lambda_var
+        return m_b, V_b, f_params, lambda_m, lambda_var, Minv
 
-    state = (m_b, V_b, f_params, lambda_m, lambda_var)
-    return lax.fori_loop(0, cfg.n_estep, body, state)
+    rank = m_b.shape[0]
+    state = (m_b, V_b, f_params, lambda_m, lambda_var,
+             jnp.zeros((rank, rank), m_b.dtype))
+    out = lax.fori_loop(0, cfg.n_estep, body, state)
+    return out[:5]
 
 
 def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
@@ -299,7 +317,17 @@ def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
         K_tilde_b = split_matmul(B.T, split_matmul(K_tilde, B))
         K_tilde_b = 0.5 * (K_tilde_b + K_tilde_b.T)
         K_b = split_matmul(K, B)
-        K_tilde_inv_b = masked_inverse(K_tilde_b, es.keep)
+        if cfg.mstep_inverse == "schulz":
+            # warm-seeded Newton-Schulz: es.k_tilde_inv_diag is the EXACT
+            # inverse of K_tilde_b at the theta where the fixed eigenspace
+            # was computed, so nearby line-search trials converge in a few
+            # MXU matmuls (exact-inverse fallback in-graph on residual
+            # failure) — no LU latency per objective evaluation
+            K_tilde_inv_b = masked_inverse_warm(
+                K_tilde_b, es.keep, es.k_tilde_inv_diag,
+                steps=cfg.schulz_steps, fallback=cfg.schulz_fallback)
+        else:
+            K_tilde_inv_b = masked_inverse(K_tilde_b, es.keep)
         a = B if shared else split_matmul(K_b, K_tilde_inv_b)
 
         lambda_m, lambda_var = lambda_moments(a, K_b, Kvec, m_b, V_b)
@@ -479,7 +507,7 @@ def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
             if _mstep_carries_memory(cfg):
                 theta, _, mem = lbfgs_minimize_speculative(
                     obj, theta, cfg.n_mstep,
-                    max_backtracks=cfg.max_linesearch_steps, memory=c.mem)
+                    max_backtracks=cfg.armijo_trials, memory=c.mem)
             else:
                 theta, _ = _minimize(cfg, obj, theta, cfg.n_mstep)
 

@@ -239,6 +239,125 @@ def logdet_with_fallback(M: jnp.ndarray, keep: jnp.ndarray,
                     lambda: masked_logdet_eigh(M, keep, eigval_tol))
 
 
+def schulz_iterations(M: jnp.ndarray, X: jnp.ndarray, steps: int = 12,
+                      guard_lag: int = 3):
+    """Newton-Schulz inverse iteration ``X <- X (2I - M X)`` from seed X.
+
+    Quadratically convergent whenever ``||I - M X0|| < 1``; every step is two
+    small matmuls on the MXU — no triangular solve / LU pivoting, whose
+    fixed latency (~3-4 ms at rank ~384 on this backend, see
+    docs/tpu_linalg.md) dominates the small-matrix factorization paths the
+    hot loops would otherwise pay per evaluation.
+
+    Returns ``(X, resid)`` where ``resid = max|M X_k - I|`` is measured
+    ``guard_lag`` iterations BEFORE the last: the residual matrix squares
+    each step (``I - M X_{k+1} = (I - M X_k)^2``), so an acceptance test
+    ``resid < tol`` implies the RETURNED X has residual ~``tol^(2^guard_lag)``
+    — e.g. tol 1e-3 at lag 3 puts the final iterate at the machine/
+    conditioning floor, never at a "barely passed" 1e-5 that would silently
+    perturb a trajectory (callers treat acceptance as exact).  The lag costs
+    nothing: every step computes its product anyway.  Matmuls run at HIGHEST
+    precision regardless of any enclosing precision scope — the iteration's
+    accuracy ceiling must not depend on the objective's speed setting."""
+    n = M.shape[-1]
+    eye = jnp.eye(n, dtype=M.dtype)
+    guard_at = max(steps - 1 - guard_lag, 0)
+    resid = jnp.asarray(jnp.inf, dtype=M.dtype)
+    for i in range(steps):
+        P = jnp.matmul(M, X, precision=lax.Precision.HIGHEST)
+        if i == guard_at:
+            resid = jnp.max(jnp.abs(P - eye))
+        X = jnp.matmul(X, 2.0 * eye - P, precision=lax.Precision.HIGHEST)
+    return X, resid
+
+
+import functools as _functools
+import jax as _jax
+
+
+@_functools.partial(_jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _padded_inverse_warm(padded: jnp.ndarray, x0_diag: jnp.ndarray,
+                         steps: int, tol: float,
+                         fallback: str) -> jnp.ndarray:
+    """inv(padded) via warm-seeded Newton-Schulz with a guarded fallback.
+
+    ``x0_diag`` seeds the iteration with ``diag(x0_diag)`` (the exact
+    inverse when padded is diagonal — e.g. K_tilde_b at the theta where the
+    eigenspace was computed).  When the residual check fails (seed too far:
+    a wild line-search trial, a non-finite input):
+
+    - ``fallback="exact"`` — a ``lax.cond`` computes ``jnp.linalg.inv``
+      instead.  Outside vmap the cond executes ONE branch at runtime, so
+      the LU latency is paid only on actual fallbacks and the result is
+      bit-for-bit the exact path's trajectory (the accepted Newton-Schulz
+      iterate sits at the machine floor — see ``schulz_iterations``'s
+      lagged guard).  This is the single-cell default.
+    - ``fallback="poison"`` — the output is NaN-poisoned BRANCHLESSLY, so
+      the enclosing objective returns +inf and the line search rejects the
+      trial and backtracks toward the seed point, where the iteration
+      always converges.  This matters under vmap (population fits, batched
+      line-search ladders): a cond with a batched predicate executes the
+      exact-inverse branch for every lane as batched LU — the very latency
+      this function removes.  The cost is that a far-but-valid trial is
+      rejected rather than evaluated (a smaller step is taken), so the
+      trajectory may differ slightly from the exact path's.
+
+    The custom VJP treats the output as the true inverse
+    (``dX = -X^T g X^T``) — identical to ``jnp.linalg.inv``'s autodiff rule
+    and much cheaper than differentiating the unrolled iteration."""
+    X0 = jnp.diag(x0_diag)
+    X, resid = schulz_iterations(padded, X0, steps)
+    if fallback == "exact":
+        return lax.cond(resid < tol, lambda: X,
+                        lambda: jnp.linalg.inv(padded))
+    poison = jnp.where(resid < tol, 0.0, jnp.nan).astype(padded.dtype)
+    return X + poison
+
+
+def _padded_inverse_warm_fwd(padded, x0_diag, steps, tol, fallback):
+    X = _padded_inverse_warm(padded, x0_diag, steps, tol, fallback)
+    return X, (X, x0_diag)
+
+
+def _padded_inverse_warm_bwd(steps, tol, fallback, res, g):
+    X, x0_diag = res
+    gp = -jnp.matmul(
+        X.T, jnp.matmul(g, X.T, precision=lax.Precision.HIGHEST),
+        precision=lax.Precision.HIGHEST)
+    # A poisoned forward (non-converged trial) must yield a BENIGN gradient,
+    # not NaN: the trial's loss is already +inf, and the line searches
+    # expect the same "+inf value, finite gradient" shape as the
+    # bounds-violation path (models/fit._mstep_objective).
+    gp = jnp.where(jnp.isfinite(gp), gp, 0.0)
+    return gp, jnp.zeros_like(x0_diag)
+
+
+_padded_inverse_warm.defvjp(_padded_inverse_warm_fwd,
+                            _padded_inverse_warm_bwd)
+
+
+def masked_inverse_warm(M: jnp.ndarray, keep: jnp.ndarray,
+                        inv_diag_warm: jnp.ndarray, steps: int = 12,
+                        tol: float = 1e-3,
+                        fallback: str = "exact") -> jnp.ndarray:
+    """``masked_inverse`` computed by warm-seeded Newton-Schulz.
+
+    ``inv_diag_warm`` is a diagonal approximate inverse of the kept block —
+    on the M-step hot path, ``es.k_tilde_inv_diag``: exactly
+    ``inv(K_tilde_b)`` at the theta where the fixed eigenspace was computed,
+    and an excellent seed for nearby line-search trials.  With
+    ``fallback="exact"`` (default) a non-converged iteration falls back to
+    the exact inverse in-graph, making this a drop-in replacement for
+    ``masked_inverse`` to the machine floor; ``fallback="poison"``
+    NaN-poisons instead (branchless — for vmapped population fits, see
+    ``_padded_inverse_warm``)."""
+    keepf = keep.astype(M.dtype)
+    padded = M + jnp.diag(1.0 - keepf)
+    x0 = inv_diag_warm + (1.0 - keepf)
+    inv = _padded_inverse_warm(padded, x0, steps, tol, fallback)
+    return inv * keepf[:, None] * keepf[None, :]
+
+
 def masked_inverse(M: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
     """Inverse of the kept block of M, zero-padded on dropped rows/cols
     (the reference solves the dense n_eigen system, utils.py:2067)."""

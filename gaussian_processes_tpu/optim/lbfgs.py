@@ -267,9 +267,17 @@ def lbfgs_minimize_speculative(fun: Callable[[Any], jnp.ndarray], x0: Any,
 
     Each step therefore evaluates value+grad at the unit step along the
     two-loop direction (speculation); only on Armijo failure does it fall
-    back to a value-only backtracking ``lax.while_loop`` plus one value+grad
-    at the accepted point.  Expected cost per step: ~1 value+grad, vs the
-    zoom search's measured ~2.7.
+    back to ONE batched value-only evaluation of a geometric step ladder
+    (0.5, 0.25, ..., 0.5^max_backtracks — jax.vmap over the trial axis, the
+    trial Grams batch onto the MXU) plus one value+grad at the first
+    Armijo-passing trial.  Rejection cost is therefore bounded by one
+    batched call — the round-2 variant's serial ``lax.while_loop`` paid up
+    to ``max_backtracks`` dependent Gram rebuilds per rejection, which is
+    where the measured 29.4 s headline regression came from (a stale
+    cross-iteration memory makes early-iteration unit steps overshoot).
+    The selected step size is identical to the serial variant's (first
+    passing alpha of the same geometric sequence).  Expected cost per step:
+    ~1 value+grad, vs the zoom search's measured ~2.7.
 
     ``memory`` carries (S, Y, rho, age) across calls.  Across EM iterations
     the hyperparameter curvature barely moves — the same observation that
@@ -294,6 +302,8 @@ def lbfgs_minimize_speculative(fun: Callable[[Any], jnp.ndarray], x0: Any,
         return fun(unravel(flat))
 
     vg = jax.value_and_grad(fv)
+    fv_batch = jax.vmap(fv)
+    ladder = (0.5 ** jnp.arange(1, max_backtracks + 1)).astype(dtype)
 
     if memory is None:
         S0, Y0, rho0, age0 = empty_lbfgs_memory(d, dtype, memory_size)
@@ -327,20 +337,16 @@ def lbfgs_minimize_speculative(fun: Callable[[Any], jnp.ndarray], x0: Any,
             return x1, f1, g1, jnp.asarray(True)
 
         def backtrack(_):
-            def cond_fn(st):
-                alpha, n, done = st
-                return (~done) & (n < max_backtracks)
-
-            def body_fn(st):
-                alpha, n, done = st
-                fa = fv(flat + alpha * direction)
-                ok = jnp.isfinite(fa) & (fa <= f + c1 * alpha * gd)
-                return (jnp.where(ok, alpha, alpha * 0.5), n + 1, ok)
-
-            alpha, _, done = lax.while_loop(
-                cond_fn, body_fn,
-                (jnp.asarray(0.5, dtype), jnp.asarray(0, jnp.int32),
-                 jnp.asarray(False)))
+            # one BATCHED value-only evaluation of the whole geometric
+            # ladder (the trial Grams batch onto the MXU), then value+grad
+            # at the first Armijo-passing alpha — same selected step as a
+            # serial halving loop, bounded cost
+            trials = flat[None, :] + ladder[:, None] * direction[None, :]
+            fs = fv_batch(trials)
+            ok = jnp.isfinite(fs) & (fs <= f + c1 * ladder * gd)
+            first_ok = jnp.argmax(ok)
+            done = jnp.any(ok)
+            alpha = jnp.where(done, ladder[first_ok], jnp.zeros((), dtype))
             xa = flat + alpha * direction
             fa, ga = vg(xa)
             acc = done & jnp.isfinite(fa) & jnp.all(jnp.isfinite(ga))

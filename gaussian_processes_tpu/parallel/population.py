@@ -32,6 +32,11 @@ def population_em_program(cfg: FitConfig, shared: bool, bounds_static,
     branch-free (models/fit.py), so vmap executes each stage exactly once
     per lane; the optional crop window has a static shared side ``win_w``
     with per-cell traced corners."""
+    if cfg.mstep_inverse == "schulz" and cfg.schulz_fallback == "exact":
+        # under vmap the exact-inverse lax.cond has a batched predicate and
+        # executes batched LU on EVERY objective call — switch to the
+        # branchless NaN-poison fallback (line search backtracks instead)
+        cfg = dataclasses.replace(cfg, schulz_fallback="poison")
     if win_w is None:
         prog = partial(_fit_program, has_V=False, shared=shared, cfg=cfg,
                        bounds_static=bounds_static, wt=None, wi=None)

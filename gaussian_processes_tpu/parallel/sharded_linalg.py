@@ -96,7 +96,7 @@ def distributed_cholesky(A: jnp.ndarray, mesh: Mesh, axis: str = "data",
     """Lower Cholesky factor of a PSD matrix, computed cooperatively over
     the mesh axis.  n is padded to a multiple of the axis size with an
     identity block (the padding factors to identity and is sliced away)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n = A.shape[0]
     p = mesh.shape[axis]

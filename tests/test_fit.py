@@ -482,3 +482,35 @@ def test_speculative_memory_modes_identical():
     # theta track moved every iteration (a frozen memory bug would stall it)
     lm = np.asarray(res_w.track.logmarginal)
     assert lm[-1] > lm[0]
+
+
+@pytest.mark.slow
+def test_schulz_solvers_match_exact_paths():
+    """The Newton-Schulz E-step solver and M-step inverse (defaults) must
+    reproduce the exact-Cholesky / exact-LU trajectories to roundoff: the
+    iteration is residual-guarded with an exact fallback, so any visible
+    divergence is a bug, not a tolerance question."""
+    import dataclasses
+    x, r = synthetic_problem()
+    cfg_kw = dict(ntilde=x.shape[0], maxiter=5, n_estep=4, n_mstep=4,
+                  n_fparamstep=4, n_px_side=N, jit_whole_fit=False)
+    jth = {k: jnp.float64(v) for k, v in THETA0.items()}
+    jfp = {k: jnp.float64(v) for k, v in FP0.items()}
+
+    def run(**kw):
+        cfg = FitConfig(**cfg_kw, **kw)
+        return fit(jnp.asarray(x), jnp.asarray(r), cfg,
+                   xtilde=jnp.asarray(x), theta=jth, f_params=jfp)
+
+    res_fast = run(estep_solver="schulz", mstep_inverse="schulz")
+    res_exact = run(estep_solver="chol", mstep_inverse="exact")
+    assert not res_fast.failed and not res_exact.failed
+    np.testing.assert_allclose(np.asarray(res_fast.track.logmarginal),
+                               np.asarray(res_exact.track.logmarginal),
+                               rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(res_fast.m_b),
+                               np.asarray(res_exact.m_b),
+                               rtol=1e-6, atol=1e-9)
+    for k in res_fast.theta:
+        np.testing.assert_allclose(float(res_fast.theta[k]),
+                                   float(res_exact.theta[k]), rtol=1e-6)

@@ -107,3 +107,76 @@ def test_logdet_fallback_indefinite_uses_eigh_route():
     ld = jax.jit(logdet_with_fallback)(M, keep)
     big = vals[vals > max(vals.max() * 1e-6, 1e-6)]
     np.testing.assert_allclose(float(ld), np.sum(np.log(big)), rtol=1e-8)
+
+
+def test_masked_inverse_warm_matches_exact():
+    """Warm-seeded Newton-Schulz inverse == exact masked inverse for a
+    near-diagonal matrix.  A far-from-seed matrix (non-converged iteration)
+    must (a) in "exact" fallback mode come back as the exact inverse via the
+    in-graph cond, and (b) in "poison" mode come back NaN-poisoned — the
+    branchless guard that turns the enclosing objective value into +inf so
+    the line search backtracks (never a silently wrong inverse)."""
+    from gaussian_processes_tpu.ops.stabilize import (masked_inverse,
+                                                      masked_inverse_warm)
+    n = 60
+    rng = np.random.default_rng(3)
+    lam = jnp.asarray(np.sort(rng.uniform(0.5, 5.0, n)))
+    keep = jnp.asarray(np.arange(n) >= 10)
+    keepf = keep.astype(lam.dtype)
+    # near-diagonal SPD: diag(lam) + small symmetric perturbation
+    E = rng.standard_normal((n, n)) * 0.02
+    M = (jnp.diag(lam) + jnp.asarray(E + E.T)) * keepf[:, None] * keepf[None, :]
+    seed = keepf / lam
+    exact = masked_inverse(M, keep)
+    warm = masked_inverse_warm(M, keep, seed)
+    np.testing.assert_allclose(np.asarray(warm), np.asarray(exact),
+                               rtol=1e-9, atol=1e-11)
+    # far seed, "exact" fallback (default): cond routes to the exact inverse
+    far_exact = masked_inverse_warm(M, keep, seed * 1e-6)
+    np.testing.assert_allclose(np.asarray(far_exact), np.asarray(exact),
+                               rtol=1e-9, atol=1e-11)
+    # far seed, "poison": iteration cannot converge -> NaN (trial rejection)
+    far = masked_inverse_warm(M, keep, seed * 1e-6, fallback="poison")
+    assert not bool(jnp.all(jnp.isfinite(far)))
+    # ... and the poisoned point's gradient is benign (zero), matching the
+    # "+inf value, finite gradient" bounds-violation contract
+    g = jax.grad(lambda m: jnp.sum(masked_inverse_warm(
+        m, keep, seed * 1e-6, fallback="poison")))(M)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_masked_inverse_warm_gradient_matches_exact():
+    """The custom VJP (treat output as the true inverse) must agree with
+    autodiff through the exact inverse."""
+    from gaussian_processes_tpu.ops.stabilize import (masked_inverse,
+                                                      masked_inverse_warm)
+    n = 24
+    rng = np.random.default_rng(5)
+    lam = jnp.asarray(np.sort(rng.uniform(0.5, 3.0, n)))
+    keep = jnp.asarray(np.ones(n, bool))
+    E = jnp.asarray(rng.standard_normal((n, n)) * 0.01)
+    W = jnp.asarray(rng.standard_normal((n, n)))
+    seed = 1.0 / lam
+
+    def loss_warm(s):
+        M = jnp.diag(lam) + s * (E + E.T)
+        return jnp.sum(masked_inverse_warm(M, keep, seed) * W)
+
+    def loss_exact(s):
+        M = jnp.diag(lam) + s * (E + E.T)
+        return jnp.sum(masked_inverse(M, keep) * W)
+
+    g_warm = jax.grad(loss_warm)(jnp.asarray(1.0))
+    g_exact = jax.grad(loss_exact)(jnp.asarray(1.0))
+    np.testing.assert_allclose(float(g_warm), float(g_exact), rtol=1e-8)
+
+
+def test_schulz_iterations_nonfinite_input_falls_through():
+    """A NaN matrix must yield a non-converged residual (NaN), steering the
+    guarded callers into their exact fallback, never a silent wrong result."""
+    from gaussian_processes_tpu.ops.stabilize import schulz_iterations
+    n = 8
+    M = jnp.full((n, n), jnp.nan)
+    X0 = jnp.eye(n)
+    X, resid = schulz_iterations(M, X0, steps=4)
+    assert not bool(jnp.isfinite(resid))
