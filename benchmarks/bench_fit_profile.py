@@ -42,7 +42,7 @@ def main():
                     n_fparamstep=bench.N_FPARAMSTEP, n_px_side=bench.N_PX,
                     track_variational=False, jit_whole_fit=False,
                     linesearch=os.environ.get("GPTPU_BENCH_LINESEARCH",
-                                              "speculative"))
+                                              "zoom"))
 
     for run in range(2):
         t0 = time.perf_counter()

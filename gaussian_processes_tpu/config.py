@@ -136,6 +136,20 @@ class FitConfig:
     rank_slack: float = 1.25
     rank_pad: int = 16
     rank_bucket: int = 64
+    # Pin the reduced-rank budget (per-iteration mode) to a FLOOR: the
+    # budget starts at this value and never shrinks below it (it still
+    # grows on true saturation — exactness wins).  Production compiles cost
+    # ~10 min per _fit_iteration variant through the remote compiler, and a
+    # kept-rank hovering at a bucket boundary otherwise flaps the schedule
+    # between two static shapes — one fresh 10-minute compile per flip.
+    # Set it to a previous run's steady-state budget (track.n_eigen) to make
+    # a fit compile exactly ONE rank variant.  None = pure measured schedule.
+    pin_rank: Optional[int] = None
+    # Pin the per-iteration crop-window SIZE the same way (a FLOOR, in
+    # pixels, bucketed): windows smaller than the pin are grown to it (the
+    # corner still tracks theta), windows larger use their scheduled size.
+    # Kills window-bucket churn/flap for a known workload.  None = measured.
+    pin_window_w: Optional[int] = None
     # Per-iteration eigensolver for the stabilizing eigenspace (reduced-rank
     # per-iteration mode only).  "subspace" = warm-started subspace
     # iteration + Rayleigh-Ritz from the previous basis (theta moves little

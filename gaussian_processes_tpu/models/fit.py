@@ -846,6 +846,14 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
             i0, j0, w = crop_window_from_scalars(
                 lb, ex, ey, cfg.n_px_side, cfg.alpha_threshold,
                 cfg.crop_margin, cfg.crop_bucket)
+            if cfg.pin_window_w is not None and w < cfg.pin_window_w:
+                # grow to the pinned floor (recentred around the scheduled
+                # window; still covers the alpha mask) so one static window
+                # shape serves the whole fit — see config.pin_window_w
+                wp = min(cfg.pin_window_w, cfg.n_px_side)
+                i0 = max(0, min(i0 - (wp - w) // 2, cfg.n_px_side - wp))
+                j0 = max(0, min(j0 - (wp - w) // 2, cfg.n_px_side - wp))
+                w = wp
             if _log_win:
                 import sys as _sys
                 print(f"[fit] crop window i0={i0} j0={j0} w={w}",
@@ -944,6 +952,11 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
                 # spuriously saturate.
                 n_eig_hist.append(int(got[3].sum()))
                 r_next = _rank_bucket(max(n_eig_hist[-3:]), cfg, ntilde)
+                if cfg.pin_rank is not None:
+                    # floor at the pinned budget: prevents bucket-boundary
+                    # flap (one fresh ~10-min compile per flip) while still
+                    # growing on true saturation — see config.pin_rank
+                    r_next = min(max(r_next, cfg.pin_rank), ntilde)
                 if r_next != carry.m_b.shape[0]:
                     carry = _slice_carry_jit(carry, rank=r_next,
                                              shared=shared)

