@@ -210,6 +210,12 @@ class FitConfig:
     # rank x rank matmuls; quadratic convergence, residual-guarded with a
     # 3-step lag so any ACCEPTED result sits at the machine floor).
     schulz_steps: int = 12
+    # log|K_tilde_b| inside the M-step objective (one per line-search
+    # evaluation).  "series": warm-seeded 8th-order trace series — three
+    # rank x rank MXU matmuls, no small-matrix Cholesky latency; in-graph
+    # Cholesky fallback when the trial is too far from the eigenspace's
+    # seed (|E|_F >= 0.25).  "chol": branchless Cholesky logdet each time.
+    mstep_logdet: str = "series"
     # Non-convergence fallback of the M-step warm inverse.  "exact": in-graph
     # lax.cond exact inverse — trajectory-identical to mstep_inverse="exact",
     # LU paid only on actual fallbacks (single-cell default).  "poison":
@@ -256,6 +262,10 @@ class FitConfig:
             raise ValueError(
                 f"mstep_inverse must be 'exact' or 'schulz', got "
                 f"{self.mstep_inverse!r}")
+        if self.mstep_logdet not in ("chol", "series"):
+            raise ValueError(
+                f"mstep_logdet must be 'chol' or 'series', got "
+                f"{self.mstep_logdet!r}")
         if self.schulz_fallback not in ("exact", "poison"):
             raise ValueError(
                 f"schulz_fallback must be 'exact' or 'poison', got "

@@ -34,8 +34,8 @@ from ..ops.kernels import (crop_window_for_theta, gram_matrices,
                            gram_matrices_windowed, local_envelope)
 from ..ops.precision import split_matmul
 from ..ops.stabilize import (Eigenspace, compute_eigenspace, masked_inverse,
-                             masked_inverse_warm, project_gram, reproject,
-                             subspace_eigenspace)
+                             masked_inverse_warm, masked_logdet_series,
+                             project_gram, reproject, subspace_eigenspace)
 from ..optim.lbfgs import (empty_lbfgs_memory, lbfgs_minimize,
                            lbfgs_minimize_armijo,
                            lbfgs_minimize_backtracking,
@@ -336,9 +336,16 @@ def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
         # log|V| is constant in theta: omit it (pure offset; saves an O(n^3)
         # factorization per line-search evaluation).  Cholesky-only logdet: a
         # non-PSD trial K_tilde_b gives NaN -> inf loss -> rejected step.
+        ld_K = None
+        if cfg.mstep_logdet == "series":
+            # warm-seeded trace series: three rank x rank matmuls instead
+            # of the small-matrix Cholesky's fixed latency; in-graph
+            # Cholesky fallback for far trials (ops/stabilize.py)
+            ld_K = masked_logdet_series(K_tilde_b, es.keep,
+                                        es.k_tilde_inv_diag)
         kl = kl_divergence(m_b, V_b, es, K_tilde_b=K_tilde_b,
                            K_tilde_inv_b=K_tilde_inv_b, skip_logdet_V=True,
-                           chol_only=True)
+                           chol_only=True, logdet_K=ld_K)
     loss = -(ell - kl)
     return jnp.where(ok & jnp.isfinite(loss), loss, jnp.inf)
 

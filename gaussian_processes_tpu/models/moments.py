@@ -93,7 +93,8 @@ def kl_divergence(m_b: jnp.ndarray, V_b: jnp.ndarray, es: Eigenspace,
                   K_tilde_b: jnp.ndarray = None,
                   K_tilde_inv_b: jnp.ndarray = None,
                   skip_logdet_V: bool = False,
-                  chol_only: bool = False) -> jnp.ndarray:
+                  chol_only: bool = False,
+                  logdet_K: jnp.ndarray = None) -> jnp.ndarray:
     """KL(q(lambda_tilde) || p) in the stabilized basis
     (reference: utils.py:1306-1337):
 
@@ -128,7 +129,11 @@ def kl_divergence(m_b: jnp.ndarray, V_b: jnp.ndarray, es: Eigenspace,
         b = jnp.matmul(K_tilde_inv_b, m_b, precision=MATMUL_PRECISION)
         quad = jnp.dot(m_b, b)
         tr = jnp.trace(split_matmul(V_b, K_tilde_inv_b))
-        if chol_only:
+        if logdet_K is not None:
+            # caller supplied the log-determinant (e.g. the M-step
+            # objective's warm-seeded trace series, ops/stabilize.py)
+            pass
+        elif chol_only:
             from ..ops.stabilize import masked_logdet_chol
             logdet_K = masked_logdet_chol(K_tilde_b, keep)
         else:

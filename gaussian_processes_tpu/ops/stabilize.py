@@ -239,6 +239,55 @@ def logdet_with_fallback(M: jnp.ndarray, keep: jnp.ndarray,
                     lambda: masked_logdet_eigh(M, keep, eigval_tol))
 
 
+def masked_logdet_series(M: jnp.ndarray, keep: jnp.ndarray,
+                         inv_diag_warm: jnp.ndarray,
+                         tol: float = 0.25) -> jnp.ndarray:
+    """log-determinant of the kept block via an 8th-order trace series
+    around the diagonal seed — three rank x rank MXU matmuls instead of a
+    small-matrix Cholesky whose fixed latency (~2-3 ms at rank ~384, see
+    docs/tpu_linalg.md) the M-step objective would otherwise pay per
+    line-search evaluation.
+
+    With ``D = diag(inv_diag_warm)`` (exact inverse of the kept block at
+    the theta where the eigenspace was computed, so nearby trials give a
+    small perturbation), ``A = D^(1/2) M D^(1/2) = I + E`` is symmetric and
+
+        logdet(M_kept) = logdet(A) - sum(log inv_diag_warm)
+        logdet(A) = tr(E) - tr(E^2)/2 + ... - tr(E^8)/8 + O(r |E|^9)
+
+    where every trace through 8th order comes from E^2, E^3, E^4 (three
+    matmuls) and elementwise sums (``tr(E^(a+b)) = sum(E^a * E^b)`` for
+    symmetric E).  Truncation error <= rank * |E|_2^9 / 9; the in-graph
+    guard falls back to the Cholesky log-determinant whenever
+    ``|E|_F >= tol`` (0.25 -> error < 1e-3 absolute at rank 384, far below
+    the objective's own f32/bf16 noise floor) or E is non-finite.  A
+    non-PSD trial inside the series regime cannot occur (|E|_2 < 1 implies
+    A's eigenvalues lie in (0, 2)); outside it the Cholesky fallback yields
+    NaN -> inf loss -> rejected step, exactly as ``masked_logdet_chol``."""
+    keepf = keep.astype(M.dtype)
+    Mp = M + jnp.diag(1.0 - keepf)
+    d = inv_diag_warm + (1.0 - keepf)
+    s = jnp.sqrt(d)
+    n = M.shape[-1]
+    E = s[:, None] * Mp * s[None, :] - jnp.eye(n, dtype=M.dtype)
+    fro2 = jnp.sum(E * E)
+
+    def series():
+        hp = lax.Precision.HIGHEST
+        E2 = jnp.matmul(E, E, precision=hp)
+        E3 = jnp.matmul(E2, E, precision=hp)
+        E4 = jnp.matmul(E2, E2, precision=hp)
+        ld_A = (jnp.trace(E) - jnp.sum(E * E) / 2 + jnp.sum(E2 * E) / 3
+                - jnp.sum(E2 * E2) / 4 + jnp.sum(E3 * E2) / 5
+                - jnp.sum(E3 * E3) / 6 + jnp.sum(E4 * E3) / 7
+                - jnp.sum(E4 * E4) / 8)
+        # logdet(A) = logdet(Mp) + sum(log d)  =>  logdet(Mp) = ld_A - ...
+        return ld_A - jnp.sum(jnp.log(d))
+
+    ok = jnp.isfinite(fro2) & (fro2 < tol * tol)
+    return lax.cond(ok, series, lambda: masked_logdet_chol(M, keep))
+
+
 def schulz_iterations(M: jnp.ndarray, X: jnp.ndarray, steps: int = 12,
                       guard_lag: int = 3):
     """Newton-Schulz inverse iteration ``X <- X (2I - M X)`` from seed X.

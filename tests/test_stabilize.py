@@ -180,3 +180,30 @@ def test_schulz_iterations_nonfinite_input_falls_through():
     X0 = jnp.eye(n)
     X, resid = schulz_iterations(M, X0, steps=4)
     assert not bool(jnp.isfinite(resid))
+
+
+def test_masked_logdet_series_matches_chol():
+    """Near-seed: the trace series must match the Cholesky logdet to its
+    truncation bound; far-seed: the in-graph guard must route to the exact
+    Cholesky (identical result)."""
+    from gaussian_processes_tpu.ops.stabilize import (masked_logdet_chol,
+                                                      masked_logdet_series)
+    n = 60
+    rng = np.random.default_rng(7)
+    lam = jnp.asarray(np.sort(rng.uniform(0.5, 5.0, n)))
+    keep = jnp.asarray(np.arange(n) >= 10)
+    keepf = keep.astype(lam.dtype)
+    E = rng.standard_normal((n, n)) * 0.01
+    M = (jnp.diag(lam) + jnp.asarray(E + E.T)) * keepf[:, None] * keepf[None, :]
+    seed = keepf / lam
+    exact = masked_logdet_chol(M, keep)
+    ser = masked_logdet_series(M, keep, seed)
+    np.testing.assert_allclose(float(ser), float(exact), rtol=1e-10)
+    # far from the seed: guard -> Cholesky branch, exact equality
+    far = masked_logdet_series(M, keep, seed * 7.0)
+    np.testing.assert_allclose(float(far), float(exact), rtol=1e-12)
+    # gradient parity (autodiff through the series vs through cholesky)
+    g_ser = jax.grad(lambda m: masked_logdet_series(m, keep, seed))(M)
+    g_ch = jax.grad(lambda m: masked_logdet_chol(m, keep))(M)
+    np.testing.assert_allclose(np.asarray(g_ser), np.asarray(g_ch),
+                               rtol=1e-6, atol=1e-10)
