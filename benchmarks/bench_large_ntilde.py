@@ -55,7 +55,9 @@ def run_at(n):
     t_gram = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    L = large_cholesky(K, mesh=None, jitter=1.0, nb=8192)
+    # nb=2048 -> _pick_block gives 2500-wide blocks at n=50k: the n x nb
+    # loop temporaries stay ~0.5 GB each, peak ~12.5 GB of 15.75 GB HBM
+    L = large_cholesky(K, mesh=None, jitter=1.0, nb=2048)
     L.block_until_ready()
     t_chol = time.perf_counter() - t0
     # sanity: diagonal of L positive and finite

@@ -35,46 +35,91 @@ from ..config import MATMUL_PRECISION
 from .sharded_linalg import distributed_cholesky
 
 
-def _chol_inplace_dc(A: jnp.ndarray, nb: int) -> jnp.ndarray:
-    """Divide-and-conquer blocked Cholesky with static shapes.
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("nb", "jitter"))
+def _chol_step(A: jnp.ndarray, k: jnp.ndarray, nb: int,
+               jitter: float) -> jnp.ndarray:
+    """One block-column step of the left-looking blocked Cholesky, as its
+    own DONATED jit program (called n/nb times from a host loop).
 
-    ``jnp.linalg.cholesky`` materializes input and output simultaneously —
-    2x the matrix footprint, an OOM at n=50k f32 on a 16 GB chip.  The
-    recursion below keeps every intermediate at half the previous level's
-    size, so with a donated input the peak footprint is ~1.5x one matrix.
-    Flops are the exact n^3/3 + O(n^2 nb) of the classical algorithm; all
-    three kernels (triangular solve, syrk update, leaf Cholesky) are MXU
-    matmul work.
+    The memory story is the whole point.  ``jnp.linalg.cholesky`` (and a
+    divide-and-conquer recursion of slices + concatenates — the round-2
+    design) presents XLA with a web of full-size intermediates whose
+    liveness analysis peaks far above one matrix: the 50k attempt was
+    declared "Used 248 G of 15.75 G hbm" AT COMPILE TIME.  A single
+    ``lax.fori_loop`` over a carried matrix (the first rewrite) fixed that
+    but still double-buffered the carry (2 x 10 GB at n=50k, measured OOM
+    down to n=32k): XLA's copy-insertion will not alias a while-loop carry
+    that the body both fully reads (the update GEMM) and writes.  Buffer
+    DONATION at the jit boundary is the aliasing XLA honors reliably, so
+    the loop lives on the host: one small program, one (n, n) buffer
+    aliased in place, O(n * nb) block temporaries, ~25 dispatches at n=50k
+    (~1 s of tunnel latency, irrelevant next to the GEMMs).  The per-step
+    program is also ~nblocks times cheaper to compile than the unrolled
+    fori_loop fusion web — compiles are the scarcest resource through the
+    tunnel (docs/tpu_linalg.md rule 5).
+
+    Per step k (block column c0 = k*nb, k a TRACED scalar so all steps
+    share one compiled program):
+      * ``R``: row block (nb, n) at c0; columns >= c0 masked to zero.
+      * ``P = A @ R_masked^T``: the left-looking update.  Unfactored columns
+        of A multiply the zeroed part of R, so no masked copy of A is ever
+        materialized; the cost is a full (n, n)x(n, nb) GEMM per step — a
+        deliberate ~6x flop overcount vs the classical n^3/3 that buys the
+        single-buffer structure (MXU flops are cheap; HBM is not).
+      * diagonal block Cholesky (+ jitter folded per block — equivalent to
+        factoring A + jitter I, with no n x n identity ever built).
+      * panel solve as an explicit (nb, nb) triangular inverse + ONE GEMM:
+        the blocked triangular_solve lowering at (n, nb) RHS keeps ~15
+        partial-solution temporaries live (~14 GB at n=50k, measured OOM);
+        inv(lkk) is small, and the GEMM has exactly one (n, nb) output.
+      * one ``dynamic_update_slice`` writes the finished column back, upper
+        part zeroed, so after the last step the buffer IS the lower factor.
+
+    Requires ``n % nb == 0`` (the caller picks a divisor).
     """
     n = A.shape[0]
+    dtype = A.dtype
+    c0 = k * nb
+    zero = jnp.zeros((), c0.dtype)  # literal 0 would be int64 under x64
+    R = lax.dynamic_slice(A, (c0, zero), (nb, n))
+    colmask = (lax.iota(c0.dtype, n) < c0).astype(dtype)
+    P = jnp.matmul(A, (R * colmask[None, :]).T, precision=MATMUL_PRECISION)
+    col = lax.dynamic_slice(A, (zero, c0), (n, nb)) - P
+    akk = (lax.dynamic_slice(col, (c0, zero), (nb, nb))
+           + jnp.asarray(jitter, dtype) * jnp.eye(nb, dtype=dtype))
+    lkk = jnp.linalg.cholesky(akk)
+    inv_lkk = lax.linalg.triangular_solve(
+        lkk, jnp.eye(nb, dtype=dtype), left_side=True, lower=True)
+    sol = jnp.matmul(col, inv_lkk.T, precision=MATMUL_PRECISION)
+    below = (lax.iota(c0.dtype, n)[:, None] >= c0 + nb).astype(dtype)
+    newcol = lax.dynamic_update_slice(sol * below, lkk, (c0, zero))
+    return lax.dynamic_update_slice(A, newcol, (zero, c0))
+
+
+def _pick_block(n: int, nb: int) -> int:
+    """A block size near ``nb`` that divides n (the loop needs n % nb == 0).
+    Searches outward from round(n / nb) block counts; falls back to 1 block
+    (plain Cholesky) only for awkward small primes."""
     if n <= nb:
-        return jnp.linalg.cholesky(A)
-    n1 = n // 2
-    A11 = A[:n1, :n1]
-    A21 = A[n1:, :n1]
-    A22 = A[n1:, n1:]
-    L11 = _chol_inplace_dc(A11, nb)
-    L21 = lax.linalg.triangular_solve(L11, A21, left_side=False, lower=True,
-                                      transpose_a=True)
-    S22 = A22 - jnp.matmul(L21, L21.T, precision=MATMUL_PRECISION)
-    L22 = _chol_inplace_dc(S22, nb)
-    top = jnp.concatenate([L11, jnp.zeros((n1, n - n1), A.dtype)], axis=1)
-    bottom = jnp.concatenate([L21, L22], axis=1)
-    return jnp.concatenate([top, bottom], axis=0)
+        return n
+    target = max(1, round(n / nb))
+    for delta in range(0, target + 1):
+        for cand in (target + delta, target - delta):
+            if cand >= 1 and n % cand == 0 and n // cand <= 2 * nb:
+                return n // cand
+    return n
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnames=("nb", "jitter"))
 def _chol_single_device(A: jnp.ndarray, nb: int = 4096,
                         jitter: float = 0.0) -> jnp.ndarray:
-    # Jitter is folded in HERE, inside the donated program, as a diagonal
-    # scatter-add: `A + jitter*eye(n)` at the call site would materialize a
-    # dense n x n identity plus an un-donated sum (20 GB extra at n=50k f32)
-    # and break the donation chain into the factorization.
-    if jitter:
-        n = A.shape[0]
-        idx = jnp.arange(n)
-        A = A.at[idx, idx].add(jnp.asarray(jitter, A.dtype))
-    return _chol_inplace_dc(A, nb)
+    """Host loop of donated ``_chol_step`` programs (see its docstring for
+    why the loop is NOT a fori_loop).  The caller must not reuse ``A``."""
+    n = A.shape[0]
+    nbb = _pick_block(n, nb)
+    A = jnp.asarray(A)
+    for k in range(n // nbb):
+        A = _chol_step(A, jnp.int32(k), nbb, jitter)
+    return A
 
 
 def large_gram(theta, xtilde: jnp.ndarray, n_px_side: int,
