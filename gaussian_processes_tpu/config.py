@@ -216,6 +216,21 @@ class FitConfig:
     # Cholesky fallback when the trial is too far from the eigenspace's
     # seed (|E|_F >= 0.25).  "chol": branchless Cholesky logdet each time.
     mstep_logdet: str = "series"
+    # Gram construction inside the M-step objective (one per line-search
+    # evaluation).  "exact": the full windowed Gram (contraction length
+    # w^2).  "projected": spectrally projected smoothing — the top
+    # ``mstep_proj_rank`` eigenbasis of the 1-D smoothing factor (computed
+    # once per EM iteration at the iteration-start theta) cuts the
+    # contraction to rank^2, a 4-7x FLOP reduction at production shapes;
+    # a per-evaluation closed-form residual check falls back in-graph to
+    # the exact Gram whenever the projection error exceeds
+    # ``mstep_proj_tol`` (relative Frobenius).  See
+    # ops/kernels.py:gram_matrices_projected.  Population (vmapped) fits
+    # should keep "exact": under vmap the fallback lax.cond executes both
+    # branches for every lane.
+    mstep_gram: str = "exact"
+    mstep_proj_rank: int = 40
+    mstep_proj_tol: float = 3e-6
     # Non-convergence fallback of the M-step warm inverse.  "exact": in-graph
     # lax.cond exact inverse — trajectory-identical to mstep_inverse="exact",
     # LU paid only on actual fallbacks (single-cell default).  "poison":
@@ -266,6 +281,10 @@ class FitConfig:
             raise ValueError(
                 f"mstep_logdet must be 'chol' or 'series', got "
                 f"{self.mstep_logdet!r}")
+        if self.mstep_gram not in ("exact", "projected"):
+            raise ValueError(
+                f"mstep_gram must be 'exact' or 'projected', got "
+                f"{self.mstep_gram!r}")
         if self.schulz_fallback not in ("exact", "poison"):
             raise ValueError(
                 f"schulz_fallback must be 'exact' or 'poison', got "

@@ -30,8 +30,10 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import FitConfig, MATMUL_PRECISION, precision_scope
-from ..ops.kernels import (crop_window_for_theta, gram_matrices,
-                           gram_matrices_windowed, local_envelope)
+from ..ops.kernels import (crop_images, crop_window_for_theta,
+                           gram_matrices, gram_matrices_projected,
+                           gram_matrices_windowed, local_envelope,
+                           smooth_projection_basis)
 from ..ops.precision import split_matmul
 from ..ops.stabilize import (Eigenspace, compute_eigenspace, masked_inverse,
                              masked_inverse_warm, masked_logdet_series,
@@ -200,6 +202,10 @@ def _masked_grams(theta, x=None, xtilde=None, shared=None, cfg=None,
     else:
         K_tilde, K, Kvec = gram_matrices(theta, x, xtilde, cfg.n_px_side,
                                          shared, cfg.alpha_threshold)
+    return _apply_pad_weights(K_tilde, K, Kvec, shared, wt, wi)
+
+
+def _apply_pad_weights(K_tilde, K, Kvec, shared, wt=None, wi=None):
     if wi is not None:
         K_tilde = K_tilde * (wi[:, None] * wi[None, :])
         if shared:
@@ -296,11 +302,17 @@ def _estep_block(x, r, kern: KernelState, m_b, V_b, f_params, lambda_m,
 
 def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
                      f_params, shared: bool, cfg: FitConfig,
-                     lower, upper, wt=None, wi=None, win=None):
+                     lower, upper, wt=None, wi=None, win=None, proj=None):
     """Negative log-marginal as a function of theta with the eigenspace B
     FIXED (reference closure: utils.py:2017-2112).  Out-of-bounds trial
     points return +inf (utils.py:2020-2028); the loss itself is evaluated on
-    clipped theta so its gradient stays finite."""
+    clipped theta so its gradient stays finite.
+
+    ``proj`` (optional, cfg.mstep_gram == "projected"): the per-iteration
+    spectral projection ``(E, xc, xtc, i0, j0)`` — the smoothing eigenbasis
+    at the iteration-start theta plus the pre-cropped stimuli.  The Gram
+    then runs at contraction length rank^2 instead of w^2, with an in-graph
+    residual-guarded fallback to the exact path (ops/kernels.py)."""
     ok = theta_in_bounds(theta, lower, upper)
     theta_c = clip_theta(theta, lower, upper)
 
@@ -308,8 +320,27 @@ def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
     # at cfg.mstep_precision ("high" = 3-pass bf16, ~2x faster grams); the
     # tracked loss and the posterior are computed at full precision outside.
     with precision_scope(cfg.mstep_precision):
-        gram_fn = partial(_masked_grams, x=x, xtilde=xtilde, shared=shared,
-                          cfg=cfg, wt=wt, wi=wi, win=win)
+        if proj is not None:
+            E, xc, xtc, pi0, pj0 = proj
+
+            def gram_fn(theta_t):
+                Kt, K, Kv, p_ok = gram_matrices_projected(
+                    theta_t, xc, xtc, E, pi0, pj0, cfg.n_px_side, shared,
+                    cfg.alpha_threshold, cfg.mstep_proj_tol)
+
+                def exact():
+                    if win is not None:
+                        return gram_matrices_windowed(
+                            theta_t, x, xtilde, cfg.n_px_side, shared,
+                            win[0], win[1], win[2], cfg.alpha_threshold)
+                    return gram_matrices(theta_t, x, xtilde, cfg.n_px_side,
+                                         shared, cfg.alpha_threshold)
+
+                Kt, K, Kv = lax.cond(p_ok, lambda: (Kt, K, Kv), exact)
+                return _apply_pad_weights(Kt, K, Kv, shared, wt, wi)
+        else:
+            gram_fn = partial(_masked_grams, x=x, xtilde=xtilde,
+                              shared=shared, cfg=cfg, wt=wt, wi=wi, win=win)
         if cfg.remat_gram:
             gram_fn = jax.checkpoint(gram_fn)
         K_tilde, K, Kvec = gram_fn(theta_c)
@@ -506,11 +537,33 @@ def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
         # (utils.py:1999-2114).
         mem = c.mem
         if cfg.n_mstep > 0 and do_mstep:
+            proj = None
+            if cfg.mstep_gram == "projected":
+                # Per-iteration spectral projection: eigenbasis of the 1-D
+                # smoothing factor at the ITERATION-START theta (theta moves
+                # little within one line search — the same warm-seeding
+                # insight as the subspace eigensolver), plus the
+                # theta-independent crop hoisted out of the line search.
+                side = win[2] if win is not None else cfg.n_px_side
+                rank = min(cfg.mstep_proj_rank, side)
+                E = smooth_projection_basis(theta, side, cfg.n_px_side,
+                                            rank, dtype=m_b.dtype)
+                if win is not None:
+                    xc = crop_images(x, win[0], win[1], side, cfg.n_px_side)
+                    xtc = (xc if shared else
+                           crop_images(xtilde, win[0], win[1], side,
+                                       cfg.n_px_side))
+                    pi0, pj0 = win[0], win[1]
+                else:
+                    xc = x
+                    xtc = x if shared else xtilde
+                    pi0 = pj0 = 0
+                proj = (E, xc, xtc, pi0, pj0)
             obj = partial(_mstep_objective, x=x, xtilde=xtilde, r=r,
                           es=kern.es, m_b=m_b, V_b=V_b,
                           f_params=f_params, shared=shared, cfg=cfg,
                           lower=lower, upper=upper, wt=wt, wi=wi,
-                          win=win)
+                          win=win, proj=proj)
             if _mstep_carries_memory(cfg):
                 theta, _, mem = lbfgs_minimize_speculative(
                     obj, theta, cfg.n_mstep,

@@ -380,6 +380,133 @@ def _gram_core(theta: Theta, x, xtilde, alpha_eff, Sy, Sx, side: int,
     return K_tilde, K, Kvec
 
 
+# ---------------------------------------------------------------------------
+# Spectrally projected Gram: the M-step line-search fast path
+# ---------------------------------------------------------------------------
+#
+# The Gram's contraction length is the window area w^2 (6400 at the
+# production w=80), but the smoothness factor S(gr) = exp(-gr d^2) is a
+# Gaussian kernel matrix whose spectrum decays super-exponentially: at the
+# production gr ~ 50 only ~30 of 80 eigenvalues exceed 1e-7 of the largest.
+# Projecting BOTH sides of the separable smoothing onto the top-R eigenbasis
+# E of S replaces the (n1, w^2) x (w^2, n2) contraction with an
+# (n1, R^2) x (R^2, n2) one — a 4-7x FLOP cut at production shapes — while
+# the dropped directions carry relative Frobenius mass ~1e-8, far below the
+# f32 HIGHEST arithmetic noise (~1e-6) of the exact path.
+#
+# Exactness is GUARDED, not assumed: the projected kernel equals the exact
+# arc-cosine kernel of the modified smoothing operator P S P (P = E E^T),
+# whose Frobenius distance to S is computable in closed form per evaluation
+# (||S - P S P||_F^2 = ||S||_F^2 - ||E^T S E||_F^2, exact for orthonormal
+# E).  The caller falls back to the exact Gram whenever the relative
+# residual exceeds a tolerance — e.g. when the line search drives rho far
+# from the basis's seed theta, or when rho sharpens beyond the static rank
+# budget.  Because P S P is itself PSD, even in-tolerance projections keep
+# every downstream stabilization property (PSD Gram, real spectrum).
+#
+# The basis E is computed ONCE per EM iteration (models/fit.py) at the
+# iteration-start theta — the same warm-seeding insight as the subspace
+# eigensolver and the Newton-Schulz inverses: theta moves little within a
+# line search.  S depends only on pixel DIFFERENCES, so every w-wide crop
+# window of the uniform grid shares one static d^2 matrix regardless of the
+# (traced) window corner.
+
+def window_smooth_d2(w: int, n_px_side: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Static (w, w) squared-distance matrix of any w-point window of the
+    uniform [-1, 1] grid (placement-independent: only differences enter)."""
+    import numpy as np
+    delta = 2.0 / (n_px_side - 1)
+    idx = np.arange(w) * delta
+    return jnp.asarray((idx[:, None] - idx[None, :]) ** 2, dtype)
+
+
+def smooth_projection_basis(theta: Theta, w: int, n_px_side: int,
+                            rank: int, dtype=None) -> jnp.ndarray:
+    """Top-``rank`` eigenbasis E (w, rank) of the 1-D smoothing factor
+    S(gr) on a w-point window.  Guarded eigh (non-finite theta would fault
+    the TPU eigensolver); on bad input returns zeros, which drives the
+    projection residual to ||S||_F so the caller's guard falls back to the
+    exact path."""
+    from .stabilize import _eigh_safe
+    if dtype is None:
+        dtype = theta["Amp"].dtype
+    gr = jnp.exp(theta["-log2rho2"]).astype(dtype)
+    S = jnp.exp(-gr * window_smooth_d2(w, n_px_side, dtype))
+    _, vecs, finite = _eigh_safe(S)
+    E = vecs[:, -rank:]
+    return jnp.where(finite, E, jnp.zeros_like(E))
+
+
+def gram_matrices_projected(theta: Theta, xc: jnp.ndarray, xtc: jnp.ndarray,
+                            E: jnp.ndarray, i0, j0, n_px_side: int,
+                            shared: bool,
+                            alpha_threshold: float = ALPHA_THRESHOLD,
+                            tol: float = 3e-6):
+    """``gram_matrices_windowed`` through the spectrally projected smoothing
+    operator P S P (P = E E^T): returns ``(K_tilde, K, Kvec, ok)`` where
+    ``ok`` certifies the relative Frobenius residual of the projection is
+    within ``tol`` (the caller lax.cond's to the exact Gram otherwise).
+
+    ``xc``/``xtc`` are the PRE-CROPPED (n, w^2) stimuli of the window at
+    (i0, j0) — cropping is theta-independent within an EM iteration, so the
+    caller hoists it out of the line search.  Identity used per image pair
+    (U = w x w image, Z = E^T U E, M = E^T S E):
+
+        q12 = amp * tr(U1^T S U2 S)  ->  amp * tr(Z1^T M Z2 M)
+            = amp * <vec(Z1), vec(M Z2 M)>
+
+    so the big contraction runs at length rank^2 instead of w^2."""
+    dtype = xc.dtype
+    w = E.shape[0]
+    amp = theta["Amp"].astype(dtype)
+    sigma0 = theta["sigma_0"].astype(dtype)
+
+    # window envelope at the (traced) corner — identical to the windowed path
+    xcord, ycord, _, _ = window_coords(i0, j0, w, n_px_side, dtype)
+    gb = jnp.exp(theta["-2log2beta"]).astype(dtype)
+    logalpha = -gb * ((xcord - theta["eps_0x"]) ** 2 +
+                      (ycord - theta["eps_0y"]) ** 2)
+    alpha = jnp.exp(logalpha)
+    alpha_eff = jnp.where(alpha >= alpha_threshold, alpha,
+                          jnp.zeros((), dtype))
+
+    gr = jnp.exp(theta["-log2rho2"]).astype(dtype)
+    S = jnp.exp(-gr * window_smooth_d2(w, n_px_side, dtype))
+    hp = jax.lax.Precision.HIGHEST
+    M = jnp.matmul(E.T, jnp.matmul(S, E, precision=hp), precision=hp)
+    # ||S - P S P||_F^2 = ||S||_F^2 - ||M||_F^2 (exact, orthonormal E)
+    s_fro2 = jnp.sum(S * S)
+    resid2 = s_fro2 - jnp.sum(M * M)
+    ok = jnp.isfinite(resid2) & (resid2 <= (tol * tol) * s_fro2)
+
+    R = E.shape[1]
+
+    def project(u):
+        # Z_i = E^T U_i E and Y_i = M Z_i M, batched over images
+        U = u.reshape(u.shape[0], w, w)
+        Z = split_matmul(split_matmul(E.T, U), E)
+        Y = split_matmul(split_matmul(M, Z), M)
+        return Z.reshape(-1, R * R), Y.reshape(-1, R * R)
+
+    ut = xtc * alpha_eff
+    Zt, Yt = project(ut)
+    qtt_diag = amp * jnp.sum(Zt * Yt, axis=1)
+    qtt = amp * split_matmul(Zt, Yt.T)
+    K_tilde = _acos_from_quads(theta, qtt_diag, qtt_diag, qtt,
+                               symmetrize=True)
+    if shared:
+        Kvec = qtt_diag + sigma0 * sigma0
+        return K_tilde, K_tilde, Kvec, ok
+
+    u = xc * alpha_eff
+    Z, Y = project(u)
+    q_diag = amp * jnp.sum(Z * Y, axis=1)
+    q = amp * split_matmul(Z, Yt.T)
+    K = _acos_from_quads(theta, q_diag, qtt_diag, q, symmetrize=False)
+    Kvec = q_diag + sigma0 * sigma0
+    return K_tilde, K, Kvec, ok
+
+
 def gram_matrices_windowed(theta: Theta, x: jnp.ndarray, xtilde: jnp.ndarray,
                            n_px_side: int, shared: bool,
                            i0, j0, w: int,

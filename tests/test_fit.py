@@ -538,3 +538,32 @@ def test_pinned_schedule_matches_unpinned():
                                rtol=1e-9)
     np.testing.assert_allclose(np.asarray(pinned.m_b).sum(),
                                np.asarray(base.m_b).sum(), rtol=1e-7)
+
+
+def test_fit_projected_mstep_matches_exact():
+    """cfg.mstep_gram="projected" tracks the exact-Gram fit.  At full rank
+    the projection is the identity (trajectories agree to fp roundoff); at
+    a truncated rank the residual guard either certifies the projection
+    (within the objective's noise class) or falls back to the exact path
+    in-graph, so the trajectory stays within line-search tolerance."""
+    x, r = synthetic_problem()
+    res0 = run_ours(x, r, maxiter=4, ne=3, nm=4)
+    loss0 = np.asarray(res0.track.logmarginal)
+
+    for rank in (N, 12):
+        cfg = FitConfig(ntilde=x.shape[0], maxiter=4, n_estep=3, n_mstep=4,
+                        n_fparamstep=5, n_px_side=N,
+                        mstep_gram="projected", mstep_proj_rank=rank)
+        jth = {k: jnp.float64(v) for k, v in THETA0.items()}
+        jfp = {k: jnp.float64(v) for k, v in FP0.items()}
+        res = fit(jnp.asarray(x), jnp.asarray(r), cfg,
+                  xtilde=jnp.asarray(x), theta=jth, f_params=jfp)
+        assert not res.failed
+        loss = np.asarray(res.track.logmarginal)
+        np.testing.assert_allclose(loss, loss0, rtol=1e-6,
+                                   err_msg=f"rank={rank}")
+        for k in res.theta:
+            np.testing.assert_allclose(float(res.theta[k]),
+                                       float(res0.theta[k]),
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=f"rank={rank} theta[{k}]")

@@ -189,3 +189,112 @@ def test_linker_matches_dense(rng):
     Kd = linker(theta, x, diag=True, n_px_side=N)
     np.testing.assert_allclose(np.asarray(Kd),
                                np.einsum("ip,pq,iq->i", x, C, x), rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Spectrally projected Gram (the M-step fast path)
+# ---------------------------------------------------------------------------
+
+def _theta_rho(rho):
+    t = make_theta()
+    t["-log2rho2"] = jnp.float64(-np.log(2 * rho * rho))
+    return t
+
+
+def _projected(theta, x, xt, rank, shared=False, n=N, tol=3e-6):
+    from gaussian_processes_tpu.ops.kernels import (
+        gram_matrices_projected, smooth_projection_basis)
+    E = smooth_projection_basis(theta, n, n, rank, dtype=x.dtype)
+    return gram_matrices_projected(theta, x, xt, E, 0, 0, n, shared,
+                                   tol=tol)
+
+
+def test_projected_gram_full_rank_is_exact(rng):
+    """rank == side makes the projection the identity: the restructured
+    contraction must reproduce gram_matrices to fp roundoff."""
+    theta = make_theta()
+    x = jnp.asarray(rng.standard_normal((9, N * N)))
+    xt = jnp.asarray(rng.standard_normal((5, N * N)))
+    Kt0, K0, Kv0 = kernels.gram_matrices(theta, x, xt, N, shared=False)
+    Kt, K, Kv, ok = _projected(theta, x, xt, rank=N)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(Kt), np.asarray(Kt0), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K0), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(Kv), np.asarray(Kv0), atol=1e-10)
+
+
+def test_projected_gram_truncated_within_tol(rng):
+    """A genuinely truncated basis (rank 10 of 12 at a smooth rho) passes
+    the residual guard and matches the exact Gram to the advertised
+    tolerance class."""
+    theta = _theta_rho(0.5)   # rel Frobenius residual ~4e-8 at rank 10
+    x = jnp.asarray(rng.standard_normal((9, N * N)))
+    xt = jnp.asarray(rng.standard_normal((5, N * N)))
+    Kt0, K0, Kv0 = kernels.gram_matrices(theta, x, xt, N, shared=False)
+    Kt, K, Kv, ok = _projected(theta, x, xt, rank=10)
+    assert bool(ok)
+    scale = float(np.max(np.abs(np.asarray(Kt0))))
+    np.testing.assert_allclose(np.asarray(Kt), np.asarray(Kt0),
+                               atol=3e-6 * scale)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K0),
+                               atol=3e-6 * scale)
+    np.testing.assert_allclose(np.asarray(Kv), np.asarray(Kv0),
+                               atol=3e-6 * scale)
+
+
+def test_projected_gram_guard_rejects_insufficient_rank(rng):
+    """When the static rank cannot carry the smoothing spectrum (sharp rho),
+    the closed-form residual check must flag the projection as invalid."""
+    theta = make_theta()   # rho=0.18 on 12 px: rank 6 leaves ~19% residual
+    x = jnp.asarray(rng.standard_normal((4, N * N)))
+    _, _, _, ok = _projected(theta, x, x, rank=6, shared=True)
+    assert not bool(ok)
+
+
+def test_projected_gram_windowed_corner(rng):
+    """Projected Gram on a crop window at a nonzero traced corner matches
+    gram_matrices_windowed (same envelope handling; S is
+    placement-independent on the uniform grid)."""
+    from gaussian_processes_tpu.ops.kernels import (
+        crop_images, crop_window_for_theta, gram_matrices_projected,
+        gram_matrices_windowed, smooth_projection_basis)
+    NN = 48
+    theta = {"sigma_0": jnp.float64(1.0), "eps_0x": jnp.float64(0.15),
+             "eps_0y": jnp.float64(-0.2),
+             "-2log2beta": jnp.float64(-2 * np.log(2 * 0.08)),
+             "-log2rho2": jnp.float64(-np.log(2 * 0.25 ** 2)),
+             "Amp": jnp.float64(1.1)}
+    x = jnp.asarray(rng.standard_normal((7, NN * NN)))
+    xt = jnp.asarray(rng.standard_normal((4, NN * NN)))
+    i0, j0, w = crop_window_for_theta(theta, NN)
+    assert w < NN
+    K0t, K0, Kv0 = gram_matrices_windowed(theta, x, xt, NN, False, i0, j0, w)
+    xc = crop_images(x, i0, j0, w, NN)
+    xtc = crop_images(xt, i0, j0, w, NN)
+    E = smooth_projection_basis(theta, w, NN, rank=min(20, w), dtype=x.dtype)
+    Kt, K, Kv, ok = gram_matrices_projected(theta, xc, xtc, E, i0, j0, NN,
+                                            shared=False)
+    assert bool(ok)
+    scale = float(np.max(np.abs(np.asarray(K0t))))
+    np.testing.assert_allclose(np.asarray(Kt), np.asarray(K0t),
+                               atol=3e-6 * scale)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K0),
+                               atol=3e-6 * scale)
+    np.testing.assert_allclose(np.asarray(Kv), np.asarray(Kv0),
+                               atol=3e-6 * scale)
+
+
+def test_projected_gram_value_and_grad_finite(rng):
+    """The projected path (including the cond fallback) is differentiable
+    wrt theta."""
+    theta = _theta_rho(0.5)
+    x = jnp.asarray(rng.standard_normal((6, N * N)))
+
+    def loss(th):
+        Kt, K, Kv, ok = _projected(th, x, x, rank=10, shared=True)
+        return jnp.sum(Kt) + jnp.sum(Kv)
+
+    val, grads = jax.value_and_grad(loss)(theta)
+    assert np.isfinite(float(val))
+    for k, g in grads.items():
+        assert np.isfinite(float(g)), k
