@@ -171,6 +171,15 @@ def main():
                                                 "schulz"),
                     mstep_inverse=os.environ.get("GPTPU_BENCH_MSTEP_INV",
                                                  "schulz"),
+                    # spectrally projected M-step Gram: contraction w^2 ->
+                    # rank^2 with a per-eval exact residual guard
+                    # (ops/kernels.py:gram_matrices_projected); rank 40
+                    # covers the steady-state gr~50 spectrum at 1e-8 with
+                    # slack (measured A/B vs "exact" in COVERAGE.md)
+                    mstep_gram=os.environ.get("GPTPU_BENCH_MSTEP_GRAM",
+                                              "projected"),
+                    mstep_proj_rank=int(os.environ.get(
+                        "GPTPU_BENCH_PROJ_RANK", "40")),
                     pin_rank=pin_rank, pin_window_w=pin_w)
 
     def run():

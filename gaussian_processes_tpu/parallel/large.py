@@ -122,25 +122,83 @@ def _chol_single_device(A: jnp.ndarray, nb: int = 4096,
     return A
 
 
+@partial(jax.jit, static_argnames=("n_px_side",))
+def _gram_prep(theta, xtilde: jnp.ndarray, n_px_side: int):
+    """Weighted + smoothed stimuli and diagonal quadratic forms — the O(n)
+    pieces of the arc-cosine Gram, one small program."""
+    from ..ops.kernels import local_envelope, smooth_apply, smooth_factor
+
+    dtype = xtilde.dtype
+    alpha_eff, _, _ = local_envelope(theta, n_px_side, dtype)
+    S = smooth_factor(theta, n_px_side, dtype)
+    amp = theta["Amp"].astype(dtype)
+    ut = xtilde * alpha_eff
+    st = smooth_apply(S, ut, n_px_side)
+    qd = amp * jnp.sum(ut * st, axis=1)
+    return ut * amp, st, qd
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("nb",))
+def _gram_row_step(K: jnp.ndarray, k: jnp.ndarray, ut_amp: jnp.ndarray,
+                   st: jnp.ndarray, qd: jnp.ndarray, sigma0: jnp.ndarray,
+                   nb: int) -> jnp.ndarray:
+    """One (nb, n) row block of the arc-cosine Gram, written into the
+    DONATED output buffer (the same host-loop-of-donated-programs pattern
+    as ``_chol_step``: at n=50k the full q12 intermediate plus the epilogue
+    output would otherwise keep 2 x 10 GB live)."""
+    dtype = K.dtype
+    r0 = k * nb
+    zero = jnp.zeros((), r0.dtype)
+    u_blk = lax.dynamic_slice(ut_amp, (r0, zero), (nb, ut_amp.shape[1]))
+    q_blk = jnp.matmul(u_blk, st.T, precision=MATMUL_PRECISION)
+    s02 = (sigma0 * sigma0).astype(dtype)
+    qd_blk = lax.dynamic_slice(qd, (r0,), (nb,))
+    X1 = jnp.sqrt(qd_blk + s02)[:, None]
+    X2 = jnp.sqrt(qd + s02)[None, :]
+    X1X2 = X1 * X2
+    from ..config import COSDELTA_JITTER
+    from ..ops.kernels import acos_J
+    cosd = jnp.clip((q_blk + s02) / (X1X2 + COSDELTA_JITTER), -1.0, 1.0)
+    K_blk = X1X2 * acos_J(cosd)
+    return lax.dynamic_update_slice(K, K_blk, (r0, zero))
+
+
 def large_gram(theta, xtilde: jnp.ndarray, n_px_side: int,
                mesh: Optional[Mesh] = None,
-               axis: str = "data") -> jnp.ndarray:
-    """K_tilde = gram(xtilde, xtilde), row-sharded over ``mesh[axis]`` (one
-    smoothing pass; GSPMD all-gathers the smoothed images and keeps the
-    (n, n) result sharded — no device ever holds more than its row block)."""
+               axis: str = "data", nb: int = 8192) -> jnp.ndarray:
+    """K_tilde = gram(xtilde, xtilde) at >=50k points.
+
+    Multi-device: row-sharded over ``mesh[axis]`` (one smoothing pass;
+    GSPMD all-gathers the smoothed images and keeps the (n, n) result
+    sharded — no device ever holds more than its row block).
+
+    Single device: a host loop of donated row-block programs — the (n, n)
+    buffer is written in place, block by block, so the q12 intermediate
+    never coexists with the full output (10 GB each at n=50k f32).  The
+    result is NOT explicitly symmetrized (the quadratic form is symmetric
+    up to f32 matmul roundoff ~1e-7, and the downstream Cholesky reads only
+    the lower triangle); callers needing exact symmetry at moderate n
+    should use ``ops.kernels.gram_matrices``."""
     from ..ops.kernels import gram_matrices
 
-    fn = partial(gram_matrices, n_px_side=n_px_side, shared=True)
-    if mesh is None or mesh.shape.get(axis, 1) <= 1:
-        K_tilde, _, _ = jax.jit(fn)(theta, xtilde, xtilde)
+    if mesh is not None and mesh.shape.get(axis, 1) > 1:
+        fn = partial(gram_matrices, n_px_side=n_px_side, shared=True)
+        x_sh = NamedSharding(mesh, P(axis, None))
+        repl = NamedSharding(mesh, P())
+        jfn = jax.jit(fn, in_shardings=(repl, x_sh, x_sh),
+                      out_shardings=(x_sh, x_sh, NamedSharding(mesh, P(axis))))
+        K_tilde, _, _ = jfn(theta, jax.device_put(xtilde, x_sh),
+                            jax.device_put(xtilde, x_sh))
         return K_tilde
-    x_sh = NamedSharding(mesh, P(axis, None))
-    repl = NamedSharding(mesh, P())
-    jfn = jax.jit(fn, in_shardings=(repl, x_sh, x_sh),
-                  out_shardings=(x_sh, x_sh, NamedSharding(mesh, P(axis))))
-    K_tilde, _, _ = jfn(theta, jax.device_put(xtilde, x_sh),
-                        jax.device_put(xtilde, x_sh))
-    return K_tilde
+
+    n = xtilde.shape[0]
+    nbb = _pick_block(n, nb)
+    ut_amp, st, qd = _gram_prep(theta, xtilde, n_px_side)
+    K = jnp.zeros((n, n), xtilde.dtype)
+    sigma0 = jnp.asarray(theta["sigma_0"], xtilde.dtype)
+    for k in range(n // nbb):
+        K = _gram_row_step(K, jnp.int32(k), ut_amp, st, qd, sigma0, nbb)
+    return K
 
 
 def large_cholesky(A: jnp.ndarray, mesh: Optional[Mesh] = None,
