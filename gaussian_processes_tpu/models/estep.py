@@ -74,7 +74,8 @@ def estep_update(r: jnp.ndarray, a: jnp.ndarray, m_b: jnp.ndarray,
         from ..ops.stabilize import schulz_iterations
 
         def solve_warm():
-            X, res = schulz_iterations(M, Minv_warm, schulz_steps)
+            X, res = schulz_iterations(M, Minv_warm, schulz_steps,
+                                       tol=schulz_tol)
             return lax.cond(res < schulz_tol, lambda: X, solve_exact)
 
         uw = use_warm if use_warm is not None else jnp.asarray(True)

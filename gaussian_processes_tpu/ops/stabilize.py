@@ -289,7 +289,7 @@ def masked_logdet_series(M: jnp.ndarray, keep: jnp.ndarray,
 
 
 def schulz_iterations(M: jnp.ndarray, X: jnp.ndarray, steps: int = 12,
-                      guard_lag: int = 3):
+                      guard_lag: int = 3, tol: float = 1e-3):
     """Newton-Schulz inverse iteration ``X <- X (2I - M X)`` from seed X.
 
     Quadratically convergent whenever ``||I - M X0|| < 1``; every step is two
@@ -298,25 +298,46 @@ def schulz_iterations(M: jnp.ndarray, X: jnp.ndarray, steps: int = 12,
     docs/tpu_linalg.md) dominates the small-matrix factorization paths the
     hot loops would otherwise pay per evaluation.
 
-    Returns ``(X, resid)`` where ``resid = max|M X_k - I|`` is measured
-    ``guard_lag`` iterations BEFORE the last: the residual matrix squares
-    each step (``I - M X_{k+1} = (I - M X_k)^2``), so an acceptance test
-    ``resid < tol`` implies the RETURNED X has residual ~``tol^(2^guard_lag)``
-    — e.g. tol 1e-3 at lag 3 puts the final iterate at the machine/
-    conditioning floor, never at a "barely passed" 1e-5 that would silently
-    perturb a trajectory (callers treat acceptance as exact).  The lag costs
-    nothing: every step computes its product anyway.  Matmuls run at HIGHEST
-    precision regardless of any enclosing precision scope — the iteration's
-    accuracy ceiling must not depend on the objective's speed setting."""
+    EARLY EXIT: the main ``lax.while_loop`` stops as soon as the measured
+    residual ``max|M X - I|`` drops below ``tol`` (or after
+    ``steps - guard_lag`` iterations), then exactly ``guard_lag + 1``
+    further unrolled steps run.  The residual matrix squares each step
+    (``I - M X_{k+1} = (I - M X_k)^2``), so acceptance (returned
+    ``resid < tol``) implies the RETURNED X has residual
+    ~``tol^(2^(guard_lag+1))`` — tol 1e-3 at lag 3 puts the final iterate
+    at the machine/conditioning floor, never at a "barely passed" 1e-5
+    that would silently perturb a trajectory (callers treat acceptance as
+    exact).  A good warm seed typically passes in 2-5 iterations, less
+    than half the fixed-unroll cost this replaces; a NaN residual compares
+    False and exits immediately into the guaranteed-rejected fallback.
+    Total step count never exceeds ``steps + 1``.  Matmuls run at HIGHEST
+    precision regardless of any enclosing precision scope — the
+    iteration's accuracy ceiling must not depend on the objective's speed
+    setting."""
     n = M.shape[-1]
     eye = jnp.eye(n, dtype=M.dtype)
-    guard_at = max(steps - 1 - guard_lag, 0)
-    resid = jnp.asarray(jnp.inf, dtype=M.dtype)
-    for i in range(steps):
-        P = jnp.matmul(M, X, precision=lax.Precision.HIGHEST)
-        if i == guard_at:
-            resid = jnp.max(jnp.abs(P - eye))
-        X = jnp.matmul(X, 2.0 * eye - P, precision=lax.Precision.HIGHEST)
+    hp = lax.Precision.HIGHEST
+    max_main = max(steps - guard_lag, 1)
+
+    def body(c):
+        i, X, _ = c
+        P = jnp.matmul(M, X, precision=hp)
+        r = jnp.max(jnp.abs(P - eye))
+        X = jnp.matmul(X, 2.0 * eye - P, precision=hp)
+        return i + 1, X, r
+
+    def cond(c):
+        i, _, r = c
+        return (i < max_main) & (r >= tol)
+
+    _, X, resid = lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), X,
+                     jnp.asarray(jnp.inf, M.dtype)))
+    # the residual was measured one update behind the loop's X, so this
+    # tail contributes guard_lag + 1 squarings past the measurement
+    for _ in range(guard_lag):
+        P = jnp.matmul(M, X, precision=hp)
+        X = jnp.matmul(X, 2.0 * eye - P, precision=hp)
     return X, resid
 
 
@@ -355,7 +376,7 @@ def _padded_inverse_warm(padded: jnp.ndarray, x0_diag: jnp.ndarray,
     (``dX = -X^T g X^T``) — identical to ``jnp.linalg.inv``'s autodiff rule
     and much cheaper than differentiating the unrolled iteration."""
     X0 = jnp.diag(x0_diag)
-    X, resid = schulz_iterations(padded, X0, steps)
+    X, resid = schulz_iterations(padded, X0, steps, tol=tol)
     if fallback == "exact":
         return lax.cond(resid < tol, lambda: X,
                         lambda: jnp.linalg.inv(padded))
