@@ -231,6 +231,13 @@ class FitConfig:
     mstep_gram: str = "exact"
     mstep_proj_rank: int = 40
     mstep_proj_tol: float = 3e-6
+    # Out-of-tolerance behavior of the projected Gram.  "exact": in-graph
+    # lax.cond recomputes the exact Gram (single-cell default — one branch
+    # executes per call, trajectory identical to mstep_gram="exact").
+    # "poison": the trial's loss goes +inf branchlessly so the line search
+    # backtracks toward the basis's seed theta (for vmapped population
+    # fits, where a cond would execute the exact branch for every lane).
+    mstep_proj_fallback: str = "exact"
     # Non-convergence fallback of the M-step warm inverse.  "exact": in-graph
     # lax.cond exact inverse — trajectory-identical to mstep_inverse="exact",
     # LU paid only on actual fallbacks (single-cell default).  "poison":
@@ -285,6 +292,10 @@ class FitConfig:
             raise ValueError(
                 f"mstep_gram must be 'exact' or 'projected', got "
                 f"{self.mstep_gram!r}")
+        if self.mstep_proj_fallback not in ("exact", "poison"):
+            raise ValueError(
+                f"mstep_proj_fallback must be 'exact' or 'poison', got "
+                f"{self.mstep_proj_fallback!r}")
         if self.schulz_fallback not in ("exact", "poison"):
             raise ValueError(
                 f"schulz_fallback must be 'exact' or 'poison', got "

@@ -328,22 +328,32 @@ def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
                     theta_t, xc, xtc, E, pi0, pj0, cfg.n_px_side, shared,
                     cfg.alpha_threshold, cfg.mstep_proj_tol)
 
-                def exact():
-                    if win is not None:
-                        return gram_matrices_windowed(
-                            theta_t, x, xtilde, cfg.n_px_side, shared,
-                            win[0], win[1], win[2], cfg.alpha_threshold)
-                    return gram_matrices(theta_t, x, xtilde, cfg.n_px_side,
-                                         shared, cfg.alpha_threshold)
+                if cfg.mstep_proj_fallback == "exact":
+                    def exact():
+                        if win is not None:
+                            return gram_matrices_windowed(
+                                theta_t, x, xtilde, cfg.n_px_side, shared,
+                                win[0], win[1], win[2], cfg.alpha_threshold)
+                        return gram_matrices(theta_t, x, xtilde,
+                                             cfg.n_px_side, shared,
+                                             cfg.alpha_threshold)
 
-                Kt, K, Kv = lax.cond(p_ok, lambda: (Kt, K, Kv), exact)
-                return _apply_pad_weights(Kt, K, Kv, shared, wt, wi)
+                    Kt, K, Kv = lax.cond(p_ok, lambda: (Kt, K, Kv), exact)
+                    p_ok = jnp.asarray(True)
+                # "poison": keep the projected matrices and let p_ok drive
+                # the loss to +inf below — branchless, so vmapped population
+                # lanes never batch the exact-Gram fallback
+                Kt, K, Kv = _apply_pad_weights(Kt, K, Kv, shared, wt, wi)
+                return Kt, K, Kv, p_ok
         else:
-            gram_fn = partial(_masked_grams, x=x, xtilde=xtilde,
-                              shared=shared, cfg=cfg, wt=wt, wi=wi, win=win)
+            def gram_fn(theta_t):
+                Kt, K, Kv = _masked_grams(theta_t, x=x, xtilde=xtilde,
+                                          shared=shared, cfg=cfg, wt=wt,
+                                          wi=wi, win=win)
+                return Kt, K, Kv, jnp.asarray(True)
         if cfg.remat_gram:
             gram_fn = jax.checkpoint(gram_fn)
-        K_tilde, K, Kvec = gram_fn(theta_c)
+        K_tilde, K, Kvec, proj_ok = gram_fn(theta_c)
         B = es.B
         K_tilde_b = split_matmul(B.T, split_matmul(K_tilde, B))
         K_tilde_b = 0.5 * (K_tilde_b + K_tilde_b.T)
@@ -378,7 +388,7 @@ def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
                            K_tilde_inv_b=K_tilde_inv_b, skip_logdet_V=True,
                            chol_only=True, logdet_K=ld_K)
     loss = -(ell - kl)
-    return jnp.where(ok & jnp.isfinite(loss), loss, jnp.inf)
+    return jnp.where(ok & proj_ok & jnp.isfinite(loss), loss, jnp.inf)
 
 
 def _track_update(track: Track, i, loss_tuple, theta, f_params, es, m_b, V_b,

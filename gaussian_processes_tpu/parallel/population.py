@@ -37,6 +37,12 @@ def population_em_program(cfg: FitConfig, shared: bool, bounds_static,
         # executes batched LU on EVERY objective call — switch to the
         # branchless NaN-poison fallback (line search backtracks instead)
         cfg = dataclasses.replace(cfg, schulz_fallback="poison")
+    if (cfg.mstep_gram == "projected"
+            and cfg.mstep_proj_fallback == "exact"):
+        # same vmap argument for the projected Gram's residual guard: the
+        # exact-Gram lax.cond would batch the full-contraction rebuild for
+        # every lane — poison the trial instead (line search backtracks)
+        cfg = dataclasses.replace(cfg, mstep_proj_fallback="poison")
     if win_w is None:
         prog = partial(_fit_program, has_V=False, shared=shared, cfg=cfg,
                        bounds_static=bounds_static, wt=None, wi=None)

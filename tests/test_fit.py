@@ -567,3 +567,34 @@ def test_fit_projected_mstep_matches_exact():
                                        float(res0.theta[k]),
                                        rtol=1e-4, atol=1e-6,
                                        err_msg=f"rank={rank} theta[{k}]")
+
+
+def test_fit_projected_poison_fallback():
+    """mstep_proj_fallback="poison" (the vmapped-population mode): at full
+    rank it matches the exact fit; at an insufficient rank every M-step
+    trial is rejected (+inf) so theta freezes at its start value — a
+    degraded-but-sound mode, never a wrong answer."""
+    x, r = synthetic_problem()
+    res0 = run_ours(x, r, maxiter=4, ne=3, nm=4)
+
+    def run(rank):
+        cfg = FitConfig(ntilde=x.shape[0], maxiter=4, n_estep=3, n_mstep=4,
+                        n_fparamstep=5, n_px_side=N,
+                        mstep_gram="projected", mstep_proj_rank=rank,
+                        mstep_proj_fallback="poison")
+        jth = {k: jnp.float64(v) for k, v in THETA0.items()}
+        jfp = {k: jnp.float64(v) for k, v in FP0.items()}
+        return fit(jnp.asarray(x), jnp.asarray(r), cfg,
+                   xtilde=jnp.asarray(x), theta=jth, f_params=jfp)
+
+    res_full = run(N)
+    assert not res_full.failed
+    np.testing.assert_allclose(np.asarray(res_full.track.logmarginal),
+                               np.asarray(res0.track.logmarginal), rtol=1e-6)
+
+    res_low = run(4)   # rho=0.15 at 16 px: rank 4 cannot carry the spectrum
+    assert not res_low.failed
+    assert np.all(np.isfinite(np.asarray(res_low.track.logmarginal)))
+    for k in res_low.theta:   # theta frozen: every trial was poisoned
+        np.testing.assert_allclose(float(res_low.theta[k]), THETA0[k],
+                                   rtol=1e-12, err_msg=k)
