@@ -229,7 +229,10 @@ class FitConfig:
     # should keep "exact": under vmap the fallback lax.cond executes both
     # branches for every lane.
     mstep_gram: str = "exact"
-    mstep_proj_rank: int = 40
+    # None: fit() sizes the rank from the start theta's smoothing spectrum
+    # (ops/kernels.suggest_proj_rank: 1e-8 residual + 8 of slack, bucketed);
+    # an int pins it (the bench pins 40 so one program variant compiles)
+    mstep_proj_rank: Optional[int] = None
     mstep_proj_tol: float = 3e-6
     # Out-of-tolerance behavior of the projected Gram.  "exact": in-graph
     # lax.cond recomputes the exact Gram (single-cell default — one branch

@@ -815,6 +815,16 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
     else:
         f_params = {k: jnp.asarray(v, dtype) for k, v in f_params.items()}
 
+    if cfg.mstep_gram == "projected" and cfg.mstep_proj_rank is None:
+        # size the spectral rank from the start theta (one host sync); the
+        # per-trial residual guard still protects every evaluation if rho
+        # later outgrows the budget
+        from ..ops.kernels import suggest_proj_rank
+        gr0 = float(jax.device_get(jnp.exp(theta["-log2rho2"])))
+        cfg = dataclasses.replace(
+            cfg, mstep_proj_rank=suggest_proj_rank(gr0, cfg.n_px_side,
+                                                   cfg.n_px_side))
+
     has_V = V is not None
     m0 = jnp.zeros(ntilde, dtype) if m is None else jnp.asarray(m, dtype)
     V0 = jnp.zeros((ntilde, ntilde), dtype) if V is None else jnp.asarray(V, dtype)

@@ -420,6 +420,28 @@ def window_smooth_d2(w: int, n_px_side: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray((idx[:, None] - idx[None, :]) ** 2, dtype)
 
 
+def suggest_proj_rank(gr: float, w: int, n_px_side: int,
+                      tol: float = 1e-8, slack: int = 8,
+                      bucket: int = 8) -> int:
+    """Host-side spectral rank for ``gram_matrices_projected``: the smallest
+    R whose dropped-spectrum relative Frobenius residual is <= ``tol``, plus
+    ``slack`` eigendirections of headroom for within-M-step rho drift,
+    bucketed so jit caches few variants.  numpy ``eigvalsh`` at (w, w) —
+    microseconds at w <= 108.  ``fit()`` calls this at the start theta when
+    ``cfg.mstep_proj_rank`` is None; the per-trial residual guard still
+    protects every evaluation if rho later outgrows the budget."""
+    import numpy as np
+    delta = 2.0 / (n_px_side - 1)
+    idx = np.arange(w) * delta
+    S = np.exp(-float(gr) * (idx[:, None] - idx[None, :]) ** 2)
+    ev = np.linalg.eigvalsh(S)[::-1]
+    tail = np.cumsum((ev * ev)[::-1])[::-1]   # tail[k] = sum_{j>=k} ev_j^2
+    ok = tail <= (tol * tol) * tail[0]
+    R = int(np.argmax(ok)) if ok.any() else w
+    R = ((R + slack + bucket - 1) // bucket) * bucket
+    return max(min(R, w), bucket)
+
+
 def smooth_projection_basis(theta: Theta, w: int, n_px_side: int,
                             rank: int, dtype=None) -> jnp.ndarray:
     """Top-``rank`` eigenbasis E (w, rank) of the 1-D smoothing factor

@@ -125,6 +125,15 @@ def fit_population(x: jnp.ndarray, rs: jnp.ndarray,
         f_params = {k: jnp.broadcast_to(jnp.asarray(v, dtype), (ncells,))
                     for k, v in f_params.items()}
 
+    if cfg.mstep_gram == "projected" and cfg.mstep_proj_rank is None:
+        # one static rank for all lanes: size it for the sharpest cell's
+        # smoothing spectrum (rank grows with gr)
+        from ..ops.kernels import suggest_proj_rank
+        gr_max = float(jnp.max(jnp.exp(thetas["-log2rho2"])))
+        cfg = dataclasses.replace(
+            cfg, mstep_proj_rank=suggest_proj_rank(gr_max, cfg.n_px_side,
+                                                   cfg.n_px_side))
+
     m0 = jnp.zeros((ncells, ntilde), dtype)
     V0 = jnp.zeros((ntilde, ntilde), dtype)   # unused (has_V=False)
     bounds_static = (tuple(sorted(lower.items())),

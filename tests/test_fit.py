@@ -550,7 +550,7 @@ def test_fit_projected_mstep_matches_exact():
     res0 = run_ours(x, r, maxiter=4, ne=3, nm=4)
     loss0 = np.asarray(res0.track.logmarginal)
 
-    for rank in (N, 12):
+    for rank in (None, 12):   # None -> auto-sized (suggest_proj_rank)
         cfg = FitConfig(ntilde=x.shape[0], maxiter=4, n_estep=3, n_mstep=4,
                         n_fparamstep=5, n_px_side=N,
                         mstep_gram="projected", mstep_proj_rank=rank)

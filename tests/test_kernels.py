@@ -298,3 +298,23 @@ def test_projected_gram_value_and_grad_finite(rng):
     assert np.isfinite(float(val))
     for k, g in grads.items():
         assert np.isfinite(float(g)), k
+
+
+def test_suggest_proj_rank():
+    from gaussian_processes_tpu.ops.kernels import suggest_proj_rank
+    # production-like: gr=50 on the 108-grid needs ~42 directions at 1e-8;
+    # +8 slack bucketed -> 56; monotone in gr; capped at w
+    r80 = suggest_proj_rank(50.0, 80, 108)
+    r108 = suggest_proj_rank(50.0, 108, 108)
+    assert 32 <= r80 <= 56
+    assert r80 <= r108 <= 64
+    assert suggest_proj_rank(200.0, 80, 108) >= r80
+    assert suggest_proj_rank(50.0, 16, 108) <= 16
+    # numerically verify the claimed residual at the suggested rank
+    import numpy as np
+    delta = 2.0 / 107
+    idx = np.arange(80) * delta
+    S = np.exp(-50.0 * (idx[:, None] - idx[None, :]) ** 2)
+    ev = np.linalg.eigvalsh(S)[::-1]
+    resid = np.sqrt((ev[r80:] ** 2).sum() / (ev ** 2).sum())
+    assert resid <= 1e-8
