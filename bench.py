@@ -171,13 +171,14 @@ def main():
                                                 "schulz"),
                     mstep_inverse=os.environ.get("GPTPU_BENCH_MSTEP_INV",
                                                  "schulz"),
-                    # spectrally projected M-step Gram: contraction w^2 ->
-                    # rank^2 with a per-eval exact residual guard
-                    # (ops/kernels.py:gram_matrices_projected); rank 40
-                    # covers the steady-state gr~50 spectrum at 1e-8 with
-                    # slack (measured A/B vs "exact" in COVERAGE.md)
+                    # exact M-step Gram: the spectrally projected mode
+                    # (gram_matrices_projected, 3.34x fewer flops on paper)
+                    # measured SLOWER end to end at this config — 17.38 s vs
+                    # exact's 13.99 s (A/B, round 3; see COVERAGE.md) — the
+                    # per-eval residual certificate and projection overhead
+                    # eat the contraction win at w=80
                     mstep_gram=os.environ.get("GPTPU_BENCH_MSTEP_GRAM",
-                                              "projected"),
+                                              "exact"),
                     mstep_proj_rank=int(os.environ.get(
                         "GPTPU_BENCH_PROJ_RANK", "40")),
                     pin_rank=pin_rank, pin_window_w=pin_w)

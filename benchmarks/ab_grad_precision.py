@@ -58,7 +58,7 @@ cfg = FitConfig(ntilde=bench.NTILDE, maxiter=bench.MAXITER,
                 mstep_inverse=os.environ.get("GPTPU_BENCH_MSTEP_INV",
                                              "schulz"),
                 mstep_gram=os.environ.get("GPTPU_BENCH_MSTEP_GRAM",
-                                          "projected"),
+                                          "exact"),
                 mstep_proj_rank=int(os.environ.get("GPTPU_BENCH_PROJ_RANK",
                                                    "40")),
                 pin_rank=pin_rank, pin_window_w=pin_w)

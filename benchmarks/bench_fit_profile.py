@@ -52,7 +52,7 @@ def main():
                     mstep_inverse=os.environ.get("GPTPU_BENCH_MSTEP_INV",
                                                  "schulz"),
                     mstep_gram=os.environ.get("GPTPU_BENCH_MSTEP_GRAM",
-                                              "projected"),
+                                              "exact"),
                     mstep_proj_rank=int(os.environ.get(
                         "GPTPU_BENCH_PROJ_RANK", "40")),
                     pin_rank=pin_rank, pin_window_w=pin_w)
