@@ -160,6 +160,32 @@ class FitConfig:
     eigensolver: str = "subspace"
     subspace_power_steps: int = 2
     eigh_refresh_every: int = 8
+    # LOWERING of the full eigenspace construction (init + the periodic
+    # refresh).  "eigh" = XLA's self-adjoint eigensolver — numerically a
+    # direct factorization, but at ntilde=2100 it compiles to a ~120 MB TPU
+    # executable (~84 s compile, ~10 s per-process LOAD through the remote
+    # tunnel, measured round 3) and every program embedding one pays that.
+    # "subspace" = subspace iteration + Rayleigh-Ritz at a static rank
+    # (ops/stabilize.compute_eigenspace_iterative, ~9 MB of code): cold
+    # start with ``subspace_init_power`` power steps at init, warm-seeded
+    # with ``refresh_power_steps`` steps at the periodic refresh.  Requires
+    # a static rank: the refresh always has one (reduced-rank carry); init
+    # uses ``init_rank`` (falls back to the full eigh when unset).
+    eigh_impl: str = "eigh"
+    # Static rank for the INIT eigenspace (per-iteration mode): the carry is
+    # born at this rank instead of full ntilde, skipping the i=1 slice (and,
+    # with eigh_impl="subspace", the init program never lowers a full eigh).
+    # Exact whenever init_rank covers the kept rank at theta0 — same
+    # contract as whole_fit_rank/pin_rank; the rank schedule still grows on
+    # true saturation at the next sync.  None = full-rank init (default).
+    init_rank: Optional[int] = None
+    # Power steps for the iterative eigenspace (eigh_impl="subspace"):
+    # cold-start init / warm-seeded periodic refresh.  Each step multiplies
+    # Ritz-pair error by (lam_{rank+1}/lam_i); kernel spectra here decay
+    # ~4 orders within a few hundred directions, so these defaults sit at
+    # the measured parity floor with wide margin (tests/test_stabilize.py).
+    subspace_init_power: int = 12
+    refresh_power_steps: int = 8
     # Static rank budget for WHOLE-FIT mode (jit_whole_fit=True): the init
     # runs one full eigh and slices to the top ``whole_fit_rank``
     # eigendirections; every EM iteration then runs the '_b' algebra at that
@@ -274,6 +300,10 @@ class FitConfig:
             raise ValueError(
                 f"eigensolver must be 'eigh' or 'subspace', got "
                 f"{self.eigensolver!r}")
+        if self.eigh_impl not in ("eigh", "subspace"):
+            raise ValueError(
+                f"eigh_impl must be 'eigh' or 'subspace', got "
+                f"{self.eigh_impl!r}")
         if self.linesearch not in ("zoom", "speculative", "backtracking",
                                    "armijo"):
             raise ValueError(

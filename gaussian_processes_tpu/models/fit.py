@@ -35,7 +35,8 @@ from ..ops.kernels import (crop_images, crop_window_for_theta,
                            gram_matrices_windowed, local_envelope,
                            smooth_projection_basis)
 from ..ops.precision import split_matmul
-from ..ops.stabilize import (Eigenspace, compute_eigenspace, masked_inverse,
+from ..ops.stabilize import (Eigenspace, compute_eigenspace,
+                             compute_eigenspace_iterative, masked_inverse,
                              masked_inverse_warm, masked_logdet_series,
                              project_gram, reproject, subspace_eigenspace)
 from ..optim.lbfgs import (empty_lbfgs_memory, lbfgs_minimize,
@@ -228,18 +229,32 @@ def _build_kernel_state(theta: Theta, x, xtilde, shared: bool,
     K_tilde, K, Kvec = _masked_grams(theta, x, xtilde, shared, cfg, wt, wi,
                                      win)
     if es_warm is not None and rank is not None:
-        # warm-started subspace Rayleigh-Ritz with full-eigh fallback on
+        # warm-started subspace Rayleigh-Ritz with a refresh fallback on
         # numerical failure (lax.cond: only one branch executes per call).
-        # ``refresh_pred`` (traced bool) forces the full-eigh branch — the
+        # ``refresh_pred`` (traced bool) forces the refresh branch — the
         # whole-fit program's periodic refresh, decided by the loop index
         # in-graph (per-iteration mode decides it on the host instead).
         es_sub, ok = subspace_eigenspace(K_tilde, es_warm.B,
                                          cfg.eigval_tol,
                                          n_power=cfg.subspace_power_steps)
         use_warm = ok if refresh_pred is None else (ok & ~refresh_pred)
-        es = lax.cond(
-            use_warm, lambda: es_sub,
-            lambda: compute_eigenspace(K_tilde, cfg.eigval_tol, rank=rank))
+        if cfg.eigh_impl == "subspace":
+            # the refresh is the same warm iteration driven harder (more
+            # power steps pull the subspace onto the true top-rank span
+            # regardless of accumulated Rayleigh-Ritz drift) — and its
+            # executable is matmul-sized, where the full eigh at production
+            # ntilde compiles to ~120 MB (see compute_eigenspace_iterative)
+            refresh = lambda: compute_eigenspace_iterative(
+                K_tilde, rank, cfg.eigval_tol,
+                n_power=cfg.refresh_power_steps, seed_B=es_warm.B)
+        else:
+            refresh = lambda: compute_eigenspace(K_tilde, cfg.eigval_tol,
+                                                 rank=rank)
+        es = lax.cond(use_warm, lambda: es_sub, refresh)
+    elif (cfg.eigh_impl == "subspace" and rank is not None
+          and rank < K_tilde.shape[-1]):
+        es = compute_eigenspace_iterative(K_tilde, rank, cfg.eigval_tol,
+                                          n_power=cfg.subspace_init_power)
     else:
         es = compute_eigenspace(K_tilde, cfg.eigval_tol, rank=rank)
     K_b = jnp.matmul(K, es.B, precision=MATMUL_PRECISION)
@@ -434,22 +449,32 @@ def _fit_init(x, r, xtilde, theta0: Theta, f_params0: FParams, m0, V0,
     maxiter = cfg.maxiter
 
     win = None if win_w is None else (win_i0, win_j0, win_w)
+    init_rank = cfg.init_rank
+    if init_rank is not None and init_rank >= ntilde:
+        init_rank = None
     kern = kern0 if kern0 is not None else _build_kernel_state(
-        theta0, x, xtilde, shared, cfg, wt, wi, win)
+        theta0, x, xtilde, shared, cfg, wt, wi, win, rank=init_rank)
     es = kern.es
     m_b = jnp.matmul(es.B.T, m0, precision=MATMUL_PRECISION)
     if has_V:
         V_b = jnp.matmul(es.B.T, jnp.matmul(V0, es.B,
                                             precision=MATMUL_PRECISION),
                          precision=MATMUL_PRECISION)
+        ld_V0 = None
     else:
         V_b = jnp.diag(es.k_tilde_b_diag)
+        # V_b is exactly diagonal here (V init = K_tilde, utils.py:1700):
+        # its kept-block log-determinant is a sum of logs — skipping the
+        # generic Cholesky/eigh-fallback logdet keeps the full-size eigh
+        # (a ~120 MB TPU executable at ntilde=2100) out of the init program
+        ld_V0 = jnp.sum(jnp.log(jnp.where(es.keep, es.eigvals,
+                                          jnp.ones_like(es.eigvals))))
 
     lambda_m, lambda_var = lambda_moments(kern.a, kern.K_b, kern.Kvec,
                                           m_b, V_b)
     f_mean = mean_f_given_lambda_moments(f_params0, lambda_m, lambda_var)
     ell0 = poisson_ell(r, f_mean, lambda_m, f_params0, weight=wt)
-    kl0 = kl_divergence(m_b, V_b, es)
+    kl0 = kl_divergence(m_b, V_b, es, logdet_V=ld_V0)
 
     nvar = ntilde if cfg.track_variational else 0
     nbas = ntilde if (cfg.track_variational and cfg.track_basis) else 0
@@ -1037,6 +1062,11 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
                     # flap (one fresh ~10-min compile per flip) while still
                     # growing on true saturation — see config.pin_rank
                     r_next = min(max(r_next, cfg.pin_rank), ntilde)
+                if _log_win:
+                    import sys as _sys
+                    print(f"[fit] i={i} n_eig={n_eig_hist[-1]} "
+                          f"rank {carry.m_b.shape[0]} -> {r_next} "
+                          f"window {wargs.get('win_w')}", file=_sys.stderr)
                 if r_next != carry.m_b.shape[0]:
                     carry = _slice_carry_jit(carry, rank=r_next,
                                              shared=shared)

@@ -94,7 +94,8 @@ def kl_divergence(m_b: jnp.ndarray, V_b: jnp.ndarray, es: Eigenspace,
                   K_tilde_inv_b: jnp.ndarray = None,
                   skip_logdet_V: bool = False,
                   chol_only: bool = False,
-                  logdet_K: jnp.ndarray = None) -> jnp.ndarray:
+                  logdet_K: jnp.ndarray = None,
+                  logdet_V: jnp.ndarray = None) -> jnp.ndarray:
     """KL(q(lambda_tilde) || p) in the stabilized basis
     (reference: utils.py:1306-1337):
 
@@ -141,7 +142,11 @@ def kl_divergence(m_b: jnp.ndarray, V_b: jnp.ndarray, es: Eigenspace,
 
     if skip_logdet_V:
         return 0.5 * logdet_K + 0.5 * quad + 0.5 * tr
-    logdet_V = logdet_with_fallback(V_b, keep)
+    if logdet_V is None:
+        logdet_V = logdet_with_fallback(V_b, keep)
+    # (callers pass ``logdet_V`` when it has a closed form — e.g. the init's
+    # exactly-diagonal V_b — keeping the eigh-fallback factorization out of
+    # programs that never need it)
     return -0.5 * logdet_V + 0.5 * logdet_K + 0.5 * quad + 0.5 * tr
 
 

@@ -207,3 +207,50 @@ def test_masked_logdet_series_matches_chol():
     g_ch = jax.grad(lambda m: masked_logdet_chol(m, keep))(M)
     np.testing.assert_allclose(np.asarray(g_ser), np.asarray(g_ch),
                                rtol=1e-6, atol=1e-10)
+
+
+def test_compute_eigenspace_iterative_matches_eigh():
+    """Cold-start subspace iteration + Rayleigh-Ritz reproduces the full
+    eigh's kept eigenpairs when the rank window has buffer below the keep
+    threshold (the contract the rank-budget machinery maintains).  This is
+    the small-EXECUTABLE eigensolver: XLA's TPU eigh at ntilde=2100 lowers
+    to a ~120 MB executable; the programs embedding it use this instead."""
+    from gaussian_processes_tpu.ops.stabilize import (
+        compute_eigenspace_iterative)
+    rng = np.random.default_rng(0)
+    n, rank = 500, 96
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    # 4-orders-of-magnitude decay, crossing the relative keep threshold
+    # (1e-4) well inside the rank window: kept ~74 of 96
+    lam = 50.0 * np.exp(-np.arange(n) / 8.0) + 1e-7
+    A = jnp.asarray(0.5 * ((Q * lam) @ Q.T + ((Q * lam) @ Q.T).T),
+                    jnp.float32)
+    es_ref = compute_eigenspace(A, rank=rank)
+    es_it = compute_eigenspace_iterative(A, rank, n_power=12)
+    assert int(es_it.keep.sum()) == int(es_ref.keep.sum())
+    mask = np.asarray(es_ref.keep) & np.asarray(es_it.keep)
+    kr = np.asarray(es_ref.k_tilde_b_diag)[mask]
+    ki = np.asarray(es_it.k_tilde_b_diag)[mask]
+    np.testing.assert_allclose(ki, kr, rtol=2e-3)
+    # kept-subspace alignment (projector distance, f32-class tolerance)
+    Br = np.asarray(es_ref.B)[:, mask]
+    Bi = np.asarray(es_it.B)[:, mask]
+    d = np.linalg.norm(Br @ Br.T - Bi @ Bi.T) / np.linalg.norm(Br @ Br.T)
+    assert d < 2e-3
+
+    # warm-seeded (the periodic-refresh path): at least as good
+    es_w = compute_eigenspace_iterative(A, rank, n_power=8, seed_B=es_it.B)
+    assert int(es_w.keep.sum()) == int(es_ref.keep.sum())
+    kw = np.asarray(es_w.k_tilde_b_diag)[mask]
+    np.testing.assert_allclose(kw, kr, rtol=2e-3)
+
+
+def test_compute_eigenspace_iterative_nan_poisons():
+    """Non-finite input must poison the outputs (rollback fires), never
+    reach the device-faulting eigensolver."""
+    from gaussian_processes_tpu.ops.stabilize import (
+        compute_eigenspace_iterative)
+    A = jnp.asarray(np.eye(64), jnp.float32).at[0, 0].set(jnp.nan)
+    es = jax.jit(lambda a: compute_eigenspace_iterative(a, 16))(A)
+    assert bool(jnp.all(jnp.isnan(es.eigvals)))
+    assert bool(jnp.all(jnp.isnan(es.B)))
