@@ -64,11 +64,13 @@ def main():
         return u, int(best)
 
     run()                      # compile
-    t0 = time.perf_counter()
-    n = 10
-    for _ in range(n):
+    run()                      # absorb the post-compile dispatch transient
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
         u, best = run()
-    elapsed = (time.perf_counter() - t0) / n
+        times.append(time.perf_counter() - t0)
+    elapsed = float(np.median(times))
 
     # Device-time: amortize the tunnel round trip over a chain of async
     # dispatches (programs execute back-to-back in dispatch order on the
