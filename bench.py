@@ -181,6 +181,18 @@ def main():
                                               "exact"),
                     mstep_proj_rank=int(os.environ.get(
                         "GPTPU_BENCH_PROJ_RANK", "40")),
+                    # subspace init: the full-eigh init program compiles to a
+                    # ~120 MB TPU executable (~10 min through the tunnel) and
+                    # any hot-path edit invalidates it; subspace iteration at
+                    # the pinned rank lowers to ~9 MB of matmuls+CholQR with
+                    # the same steady-state wall-clock (A/B, round 3)
+                    eigh_impl=os.environ.get("GPTPU_BENCH_EIGH_IMPL",
+                                             "subspace"),
+                    init_rank=(int(os.environ["GPTPU_BENCH_INIT_RANK"])
+                               if os.environ.get("GPTPU_BENCH_INIT_RANK")
+                               else (pin_rank if os.environ.get(
+                                   "GPTPU_BENCH_EIGH_IMPL", "subspace")
+                                   == "subspace" else None)),
                     pin_rank=pin_rank, pin_window_w=pin_w)
 
     def run():
