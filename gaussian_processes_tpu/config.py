@@ -216,7 +216,14 @@ class FitConfig:
     # trial; measured slower than zoom — kept for robustness to noisy
     # objectives).  "armijo" = branch-free batched-backtracking L-BFGS —
     # the vmap-linear choice for population fits, where zoom's
-    # cond/while_loop control flow costs ~10x per lane.
+    # cond/while_loop control flow costs ~10x per lane.  "zoom_carry" =
+    # zoom with the M-step L-BFGS state carried across EM iterations
+    # (optim/lbfgs.lbfgs_minimize_zoom_carry): identical strong-Wolfe
+    # semantics per step, but theta's 6-dim curvature memory persists so
+    # the unit step is well-scaled from step 1 of every M-step instead of
+    # being re-learned (~2.7 value+grad Gram rebuilds per step measured
+    # for cold zoom at bench shapes).  Requires mstep_memory=True to take
+    # effect; f-param updates still run plain zoom.
     linesearch: str = "zoom"
     # Inner SPD solver of the E-step Newton update.  "schulz" warm-starts
     # each Newton step's (I + S G S)^-1 from the previous step's inverse via
@@ -275,8 +282,8 @@ class FitConfig:
     # a cond with a batched predicate would pay batched LU on EVERY call
     # (fit_population sets this automatically).
     schulz_fallback: str = "exact"
-    # Carry the M-step L-BFGS curvature memory (S, Y pairs) across EM
-    # iterations (linesearch="speculative" only).  theta moves little
+    # Carry the M-step L-BFGS curvature memory across EM iterations
+    # (linesearch="speculative" or "zoom_carry").  theta moves little
     # between EM iterations — the same observation behind the warm-started
     # subspace eigensolver — so each M-step starts with the previous
     # iteration's curvature instead of re-learning it: the unit step is
@@ -304,11 +311,11 @@ class FitConfig:
             raise ValueError(
                 f"eigh_impl must be 'eigh' or 'subspace', got "
                 f"{self.eigh_impl!r}")
-        if self.linesearch not in ("zoom", "speculative", "backtracking",
-                                   "armijo"):
+        if self.linesearch not in ("zoom", "zoom_carry", "speculative",
+                                   "backtracking", "armijo"):
             raise ValueError(
-                f"linesearch must be 'zoom', 'speculative', 'backtracking' "
-                f"or 'armijo', got {self.linesearch!r}")
+                f"linesearch must be 'zoom', 'zoom_carry', 'speculative', "
+                f"'backtracking' or 'armijo', got {self.linesearch!r}")
         if self.estep_solver not in ("chol", "schulz"):
             raise ValueError(
                 f"estep_solver must be 'chol' or 'schulz', got "

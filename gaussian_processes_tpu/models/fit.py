@@ -42,11 +42,15 @@ from ..ops.stabilize import (Eigenspace, compute_eigenspace,
 from ..optim.lbfgs import (empty_lbfgs_memory, lbfgs_minimize,
                            lbfgs_minimize_armijo,
                            lbfgs_minimize_backtracking,
-                           lbfgs_minimize_speculative)
+                           lbfgs_minimize_speculative,
+                           lbfgs_minimize_zoom_carry, zoom_carry_init)
 
 
 def _minimize(cfg: FitConfig, fun, x0, num_steps):
-    """Inner L-BFGS dispatch on cfg.linesearch (see FitConfig)."""
+    """Inner L-BFGS dispatch on cfg.linesearch (see FitConfig).  The
+    "zoom_carry" mode only changes the M-step (state threaded through the
+    EM carry); every other minimize site — the f-param updates, and the
+    M-step when mstep_memory is off — runs the plain zoom."""
     if cfg.linesearch == "armijo":
         return lbfgs_minimize_armijo(fun, x0, num_steps,
                                      ls_trials=cfg.armijo_trials)
@@ -64,9 +68,10 @@ def _minimize(cfg: FitConfig, fun, x0, num_steps):
 
 def _mstep_carries_memory(cfg: FitConfig) -> bool:
     """True when the M-step L-BFGS curvature memory is threaded through the
-    EM carry (cross-iteration warm start; speculative line search only)."""
-    return (cfg.linesearch == "speculative" and cfg.mstep_memory
-            and cfg.n_mstep > 0)
+    EM carry (cross-iteration warm start; speculative or zoom_carry line
+    search)."""
+    return (cfg.linesearch in ("speculative", "zoom_carry")
+            and cfg.mstep_memory and cfg.n_mstep > 0)
 from ..params import THETA_KEYS, clip_theta, theta_bounds, theta_in_bounds
 from .estep import estep_update
 from .moments import (kl_divergence, lambda0_given_logA, lambda_moments,
@@ -493,8 +498,13 @@ def _fit_init(x, r, xtilde, theta0: Theta, f_params0: FParams, m0, V0,
     track = _track_update(track, 0, (ell0, kl0), theta0, f_params0, es,
                           m_b, V_b, cfg)
 
-    mem = (empty_lbfgs_memory(len(THETA_KEYS), dtype)
-           if _mstep_carries_memory(cfg) else ())
+    if _mstep_carries_memory(cfg):
+        mem = (zoom_carry_init(theta0,
+                               max_linesearch_steps=cfg.max_linesearch_steps)
+               if cfg.linesearch == "zoom_carry"
+               else empty_lbfgs_memory(len(THETA_KEYS), dtype))
+    else:
+        mem = ()
     return Carry(theta0, f_params0, m_b, V_b, kern, lambda_m, lambda_var,
                  track, jnp.asarray(False), jnp.asarray(-1, jnp.int32), mem)
 
@@ -600,9 +610,14 @@ def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
                           lower=lower, upper=upper, wt=wt, wi=wi,
                           win=win, proj=proj)
             if _mstep_carries_memory(cfg):
-                theta, _, mem = lbfgs_minimize_speculative(
-                    obj, theta, cfg.n_mstep,
-                    max_backtracks=cfg.armijo_trials, memory=c.mem)
+                if cfg.linesearch == "zoom_carry":
+                    theta, _, mem = lbfgs_minimize_zoom_carry(
+                        obj, theta, cfg.n_mstep, state=c.mem,
+                        max_linesearch_steps=cfg.max_linesearch_steps)
+                else:
+                    theta, _, mem = lbfgs_minimize_speculative(
+                        obj, theta, cfg.n_mstep,
+                        max_backtracks=cfg.armijo_trials, memory=c.mem)
             else:
                 theta, _ = _minimize(cfg, obj, theta, cfg.n_mstep)
 

@@ -60,6 +60,14 @@ def _two_loop(g, S, Y, rho, age):
     return -r
 
 
+def _zoom_opt(memory_size: int, max_linesearch_steps: int):
+    return optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=max_linesearch_steps,
+            initial_guess_strategy="one"))
+
+
 def lbfgs_minimize(fun: Callable[[Any], jnp.ndarray], x0: Any,
                    num_steps: int, memory_size: int = 15,
                    max_linesearch_steps: int = 20) -> Tuple[Any, jnp.ndarray]:
@@ -71,15 +79,54 @@ def lbfgs_minimize(fun: Callable[[Any], jnp.ndarray], x0: Any,
     ``fun`` may return +inf (bound violation); the zoom line search then
     backtracks.  NaN objective values freeze the iterate.
     """
-    opt = optax.lbfgs(
-        memory_size=memory_size,
-        linesearch=optax.scale_by_zoom_linesearch(
-            max_linesearch_steps=max_linesearch_steps,
-            initial_guess_strategy="one"))
-    return _drive_lbfgs(opt, fun, x0, num_steps)
+    return _drive_lbfgs(_zoom_opt(memory_size, max_linesearch_steps),
+                        fun, x0, num_steps)
 
 
-def _drive_lbfgs(opt, fun, x0, num_steps) -> Tuple[Any, jnp.ndarray]:
+def zoom_carry_init(x0: Any, memory_size: int = 15,
+                    max_linesearch_steps: int = 20):
+    """Fresh optax L-BFGS state for ``lbfgs_minimize_zoom_carry`` — built
+    once at fit init and threaded through the EM carry."""
+    return _zoom_opt(memory_size, max_linesearch_steps).init(x0)
+
+
+def lbfgs_minimize_zoom_carry(fun: Callable[[Any], jnp.ndarray], x0: Any,
+                              num_steps: int, state: Any,
+                              memory_size: int = 15,
+                              max_linesearch_steps: int = 20
+                              ) -> Tuple[Any, jnp.ndarray, Any]:
+    """Strong-Wolfe zoom L-BFGS whose optimizer state (curvature memory)
+    is CARRIED across calls — the cross-EM-iteration warm start for the
+    M-step, with the zoom semantics unchanged.
+
+    Rationale: theta is 6-dimensional, and every M-step of the reference
+    restarts ``torch.optim.LBFGS`` from scratch (utils.py:2013), so the
+    first 2-3 steps of EVERY M-step re-learn the same Hessian scale with
+    badly-scaled trial steps the zoom search must reject (~2.7 value+grad
+    Gram rebuilds per step measured at bench shapes, vs the 1 a well-scaled
+    unit step costs).  Across EM iterations the hyperparameter curvature
+    barely moves — the same observation that justifies the warm-started
+    subspace eigensolver — so carrying the (s, y) memory makes step 1 of
+    every M-step a well-scaled quasi-Newton step.
+
+    The stored line-search value/gradient belong to the PREVIOUS M-step's
+    objective (the eigenspace, m_b, V_b and the E-step state all moved), so
+    they are poisoned to +inf here: ``optax.value_and_grad_from_state``
+    then evaluates the new objective fresh at the carried iterate.
+    Staleness of the memory itself is safe under the strong-Wolfe search:
+    a poor direction just costs extra zoom trials, and curvature pairs are
+    only stored when they satisfy s'y > 0 on the current objective.
+
+    Returns ``(x_best, f_best, state_out)``.
+    """
+    opt = _zoom_opt(memory_size, max_linesearch_steps)
+    value = optax.tree.get(state, "value")
+    state = optax.tree.set(state, value=jnp.full_like(value, jnp.inf))
+    return _drive_lbfgs(opt, fun, x0, num_steps, state0=state,
+                        return_state=True)
+
+
+def _drive_lbfgs(opt, fun, x0, num_steps, state0=None, return_state=False):
     """Shared L-BFGS driver with EVAL-FREE best-iterate tracking: the
     linesearch stores the accepted point's value (and, for store_grad
     searches, its gradient) in the optimizer state, so both the next
@@ -87,7 +134,8 @@ def _drive_lbfgs(opt, fun, x0, num_steps) -> Tuple[Any, jnp.ndarray]:
     paying one extra objective evaluation per step (~10 Gram rebuilds per
     M-step at production shapes)."""
     value_and_grad = optax.value_and_grad_from_state(fun)
-    state0 = opt.init(x0)
+    if state0 is None:
+        state0 = opt.init(x0)
 
     def step(carry, _):
         x, state, x_best, f_best, was_frozen = carry
@@ -125,6 +173,8 @@ def _drive_lbfgs(opt, fun, x0, num_steps) -> Tuple[Any, jnp.ndarray]:
     x_best = jax.tree_util.tree_map(
         lambda b, c: jnp.where(better, c, b), x_best, xf)
     f_best = jnp.where(better, value_f, f_best)
+    if return_state:
+        return x_best, f_best, state_f
     return x_best, f_best
 
 

@@ -156,12 +156,14 @@ def test_vargp_trajectory_parity():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("linesearch", ["backtracking", "speculative"])
+@pytest.mark.parametrize("linesearch",
+                         ["backtracking", "speculative", "zoom_carry"])
 def test_backtracking_linesearch_trajectory_parity(linesearch):
-    """The non-zoom L-BFGS line searches — Armijo backtracking (value-cheap
-    trials, stored accepted-point grad) and the speculative-accept Armijo
-    search with cross-EM-iteration curvature memory (the fast TPU M-step
-    mode) — must track the reference trajectory within the same 2%
+    """The non-default L-BFGS line searches — Armijo backtracking
+    (value-cheap trials, stored accepted-point grad), the speculative-accept
+    Armijo search with cross-EM-iteration curvature memory, and zoom_carry
+    (strong-Wolfe zoom with the M-step optimizer state carried across EM
+    iterations) — must track the reference trajectory within the same 2%
     tolerance as the zoom mode and finish at least as well."""
     import dataclasses
     import torch
@@ -482,6 +484,32 @@ def test_speculative_memory_modes_identical():
     # theta track moved every iteration (a frozen memory bug would stall it)
     lm = np.asarray(res_w.track.logmarginal)
     assert lm[-1] > lm[0]
+
+
+def test_zoom_carry_matches_zoom_closely():
+    """zoom_carry runs the SAME strong-Wolfe zoom steps — only the L-BFGS
+    curvature memory persists across EM iterations — so its trajectory must
+    stay within a few percent of plain zoom and converge at least as well
+    (fast gate; reference-trajectory parity is the slow parametrized
+    test above)."""
+    import dataclasses
+    x, r = synthetic_problem()
+    base = FitConfig(ntilde=x.shape[0], maxiter=5, n_estep=3, n_mstep=4,
+                     n_fparamstep=3, n_px_side=N, jit_whole_fit=False)
+    jth = {k: jnp.float64(v) for k, v in THETA0.items()}
+    jfp = {k: jnp.float64(v) for k, v in FP0.items()}
+    res_z = fit(jnp.asarray(x), jnp.asarray(r), base, xtilde=jnp.asarray(x),
+                theta=jth, f_params=jfp)
+    res_c = fit(jnp.asarray(x), jnp.asarray(r),
+                dataclasses.replace(base, linesearch="zoom_carry"),
+                xtilde=jnp.asarray(x), theta=jth, f_params=jfp)
+    lz = np.asarray(res_z.track.logmarginal)
+    lc = np.asarray(res_c.track.logmarginal)
+    assert not res_c.failed
+    # identical first iteration (the memory is empty there)
+    np.testing.assert_allclose(lc[:2], lz[:2], rtol=1e-10)
+    np.testing.assert_allclose(lc, lz, rtol=0.03)
+    assert lc[-1] >= lz[0]
 
 
 @pytest.mark.slow
