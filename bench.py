@@ -103,6 +103,66 @@ def _watchdog(budget_s: float):
     os._exit(3)
 
 
+def make_config(FitConfig, maxiter=None):
+    """The headline fit configuration, env-overridable knob by knob.  The
+    SINGLE source of truth shared by bench.py and the profiling/A-B
+    scripts under benchmarks/ — sharing it keeps every run on the same
+    compiled programs (.jax_cache hits; compiles through the tunnel cost
+    minutes each).
+
+    Per-iteration compilation: three compact programs instead of one
+    maxiter-unrolled HLO (the tunnel'd remote compiler rejects the giant
+    single program; numerics are identical — see test_fit_modes).  Pins =
+    the measured steady-state schedule of this exact workload (w=80 and
+    rank 384 for all 30 iterations, profiled round 3): the fit compiles
+    exactly one iteration variant per (linesearch, do_mstep) instead of
+    flapping at a bucket boundary (~10 min/extra compile)."""
+    pin_rank = int(os.environ.get("GPTPU_BENCH_PIN_RANK", "384")) or None
+    pin_w = int(os.environ.get("GPTPU_BENCH_PIN_W", "80")) or None
+    return FitConfig(
+        ntilde=NTILDE, maxiter=MAXITER if maxiter is None else maxiter,
+        n_estep=N_ESTEP, n_mstep=N_MSTEP, n_fparamstep=N_FPARAMSTEP,
+        n_px_side=N_PX, track_variational=False, jit_whole_fit=False,
+        # zoom, measured 14.66 s vs speculative's 19.8 s at the headline
+        # config AND converging further (r2 1.027 vs 0.873): the
+        # strong-Wolfe curvature condition buys better steps than its
+        # extra ~1.7 evals/step cost.  zoom_carry (cross-EM-iteration
+        # curvature memory) measured 16.10 s — see COVERAGE.md.
+        linesearch=os.environ.get("GPTPU_BENCH_LINESEARCH", "zoom"),
+        estep_solver=os.environ.get("GPTPU_BENCH_ESTEP_SOLVER", "schulz"),
+        mstep_inverse=os.environ.get("GPTPU_BENCH_MSTEP_INV", "schulz"),
+        # exact M-step Gram: the spectrally projected mode
+        # (gram_matrices_projected, 3.34x fewer flops on paper) measured
+        # SLOWER end to end at this config — 17.38 s vs exact's 13.99 s
+        # (A/B, round 3; see COVERAGE.md) — the per-eval residual
+        # certificate and projection overhead eat the contraction win at
+        # w=80
+        mstep_gram=os.environ.get("GPTPU_BENCH_MSTEP_GRAM", "exact"),
+        mstep_proj_rank=int(os.environ.get("GPTPU_BENCH_PROJ_RANK", "40")),
+        # subspace init: the full-eigh init program compiles to a ~120 MB
+        # TPU executable (~10 min through the tunnel) and any hot-path
+        # edit invalidates it; subspace iteration at the pinned rank
+        # lowers to ~9 MB of matmuls+CholQR with the same steady-state
+        # wall-clock (A/B, round 3)
+        eigh_impl=os.environ.get("GPTPU_BENCH_EIGH_IMPL", "subspace"),
+        init_rank=(int(os.environ["GPTPU_BENCH_INIT_RANK"])
+                   if os.environ.get("GPTPU_BENCH_INIT_RANK")
+                   else (pin_rank
+                         if os.environ.get("GPTPU_BENCH_EIGH_IMPL",
+                                           "subspace") == "subspace"
+                         else None)),
+        pin_rank=pin_rank, pin_window_w=pin_w,
+        # M-step early termination (the torch tolerance_change analog,
+        # utils.py:2012; 0 = run all n_mstep steps).  Late EM iterations
+        # barely move theta, so converged L-BFGS steps skip their Gram
+        # rebuilds entirely via a lax.cond identity branch.  ftol=1.0 is
+        # ~6e-4 of the final loss (~2e-4 of the initial): measured
+        # 12.11 s -> 6.34 s at held-out r2 1.026 vs 1.028 (A/B sweep
+        # 0.3/1.0/3.0, round 3; see COVERAGE.md).
+        mstep_ftol=float(os.environ.get("GPTPU_BENCH_MSTEP_FTOL", "1.0")),
+        mstep_gtol=float(os.environ.get("GPTPU_BENCH_MSTEP_GTOL", "0")))
+
+
 def make_data(seed=0):
     rng = np.random.default_rng(seed)
     X = rng.standard_normal((NT, N_PX * N_PX)).astype(np.float32)
@@ -148,52 +208,7 @@ def main():
     f_params = {"logA": jnp.float32(np.log(0.01)),
                 "lambda0": jnp.float32(1.0)}
 
-    # Per-iteration compilation: three compact programs instead of one
-    # maxiter-unrolled HLO (the tunnel'd remote compiler rejects the giant
-    # single program; numerics are identical — see test_fit_modes).
-    # Pins = the measured steady-state schedule of this exact workload
-    # (w=80 and rank 384 for all 30 iterations, profiled round 3): the fit
-    # compiles exactly one iteration variant per (linesearch, do_mstep)
-    # instead of flapping at a bucket boundary (~10 min/extra compile).
-    pin_rank = int(os.environ.get("GPTPU_BENCH_PIN_RANK", "384")) or None
-    pin_w = int(os.environ.get("GPTPU_BENCH_PIN_W", "80")) or None
-    cfg = FitConfig(ntilde=NTILDE, maxiter=MAXITER, n_estep=N_ESTEP,
-                    n_mstep=N_MSTEP, n_fparamstep=N_FPARAMSTEP,
-                    n_px_side=N_PX, track_variational=False,
-                    jit_whole_fit=False,
-                    # zoom, measured 14.66 s vs speculative's 19.8 s at the
-                    # headline config AND converging further (r2 1.027 vs
-                    # 0.873): the strong-Wolfe curvature condition buys
-                    # better steps than its extra ~1.7 evals/step cost
-                    linesearch=os.environ.get("GPTPU_BENCH_LINESEARCH",
-                                              "zoom"),
-                    estep_solver=os.environ.get("GPTPU_BENCH_ESTEP_SOLVER",
-                                                "schulz"),
-                    mstep_inverse=os.environ.get("GPTPU_BENCH_MSTEP_INV",
-                                                 "schulz"),
-                    # exact M-step Gram: the spectrally projected mode
-                    # (gram_matrices_projected, 3.34x fewer flops on paper)
-                    # measured SLOWER end to end at this config — 17.38 s vs
-                    # exact's 13.99 s (A/B, round 3; see COVERAGE.md) — the
-                    # per-eval residual certificate and projection overhead
-                    # eat the contraction win at w=80
-                    mstep_gram=os.environ.get("GPTPU_BENCH_MSTEP_GRAM",
-                                              "exact"),
-                    mstep_proj_rank=int(os.environ.get(
-                        "GPTPU_BENCH_PROJ_RANK", "40")),
-                    # subspace init: the full-eigh init program compiles to a
-                    # ~120 MB TPU executable (~10 min through the tunnel) and
-                    # any hot-path edit invalidates it; subspace iteration at
-                    # the pinned rank lowers to ~9 MB of matmuls+CholQR with
-                    # the same steady-state wall-clock (A/B, round 3)
-                    eigh_impl=os.environ.get("GPTPU_BENCH_EIGH_IMPL",
-                                             "subspace"),
-                    init_rank=(int(os.environ["GPTPU_BENCH_INIT_RANK"])
-                               if os.environ.get("GPTPU_BENCH_INIT_RANK")
-                               else (pin_rank if os.environ.get(
-                                   "GPTPU_BENCH_EIGH_IMPL", "subspace")
-                                   == "subspace" else None)),
-                    pin_rank=pin_rank, pin_window_w=pin_w)
+    cfg = make_config(FitConfig)
 
     def run():
         res = fit(X, R, cfg, xtilde=xtilde, theta=theta, f_params=f_params)

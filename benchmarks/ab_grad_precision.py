@@ -43,25 +43,10 @@ theta = {{"sigma_0": 1.0, "eps_0x": 0.0001, "eps_0y": 0.0001,
          "-log2rho2": -np.log(2 * 0.1 ** 2), "Amp": 1.0}}
 theta = {{k: jnp.float32(v) for k, v in theta.items()}}
 fp = {{"logA": jnp.float32(np.log(0.01)), "lambda0": jnp.float32(1.0)}}
-# mirror bench.py's exact config so the "default" arm reuses the headline
-# run's cached programs (the "highest" arm necessarily compiles its own:
-# the precision is baked into the dot_general lowering)
-pin_rank = int(os.environ.get("GPTPU_BENCH_PIN_RANK", "384")) or None
-pin_w = int(os.environ.get("GPTPU_BENCH_PIN_W", "80")) or None
-cfg = FitConfig(ntilde=bench.NTILDE, maxiter=bench.MAXITER,
-                n_estep=bench.N_ESTEP, n_mstep=bench.N_MSTEP,
-                n_fparamstep=bench.N_FPARAMSTEP, n_px_side=bench.N_PX,
-                track_variational=False, jit_whole_fit=False,
-                linesearch=os.environ.get("GPTPU_BENCH_LINESEARCH", "zoom"),
-                estep_solver=os.environ.get("GPTPU_BENCH_ESTEP_SOLVER",
-                                            "schulz"),
-                mstep_inverse=os.environ.get("GPTPU_BENCH_MSTEP_INV",
-                                             "schulz"),
-                mstep_gram=os.environ.get("GPTPU_BENCH_MSTEP_GRAM",
-                                          "exact"),
-                mstep_proj_rank=int(os.environ.get("GPTPU_BENCH_PROJ_RANK",
-                                                   "40")),
-                pin_rank=pin_rank, pin_window_w=pin_w)
+# bench.make_config mirrors bench.py's exact config so the "default" arm
+# reuses the headline run's cached programs (the "highest" arm necessarily
+# compiles its own: the precision is baked into the dot_general lowering)
+cfg = bench.make_config(FitConfig)
 res = fit(X, R, cfg, xtilde=xtilde, theta=theta, f_params=fp)
 jax.block_until_ready(res.m_b)
 t0 = time.perf_counter()

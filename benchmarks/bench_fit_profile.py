@@ -37,25 +37,9 @@ def main():
     theta = {k: jnp.float32(v) for k, v in theta.items()}
     f_params = {"logA": jnp.float32(np.log(0.01)),
                 "lambda0": jnp.float32(1.0)}
-    # mirror bench.py's exact config so the two share .jax_cache programs
-    # (compiles through the tunnel are minutes each)
-    pin_rank = int(os.environ.get("GPTPU_BENCH_PIN_RANK", "384")) or None
-    pin_w = int(os.environ.get("GPTPU_BENCH_PIN_W", "80")) or None
-    cfg = FitConfig(ntilde=bench.NTILDE, maxiter=maxiter,
-                    n_estep=bench.N_ESTEP, n_mstep=bench.N_MSTEP,
-                    n_fparamstep=bench.N_FPARAMSTEP, n_px_side=bench.N_PX,
-                    track_variational=False, jit_whole_fit=False,
-                    linesearch=os.environ.get("GPTPU_BENCH_LINESEARCH",
-                                              "zoom"),
-                    estep_solver=os.environ.get("GPTPU_BENCH_ESTEP_SOLVER",
-                                                "schulz"),
-                    mstep_inverse=os.environ.get("GPTPU_BENCH_MSTEP_INV",
-                                                 "schulz"),
-                    mstep_gram=os.environ.get("GPTPU_BENCH_MSTEP_GRAM",
-                                              "exact"),
-                    mstep_proj_rank=int(os.environ.get(
-                        "GPTPU_BENCH_PROJ_RANK", "40")),
-                    pin_rank=pin_rank, pin_window_w=pin_w)
+    # bench.make_config is the single source of truth so the two share
+    # .jax_cache programs (compiles through the tunnel are minutes each)
+    cfg = bench.make_config(FitConfig, maxiter=maxiter)
 
     for run in range(2):
         t0 = time.perf_counter()

@@ -301,6 +301,18 @@ class FitConfig:
     # bound and its conds execute both branches, so a tight budget bounds
     # the lockstep waste; single-lane fits rarely need more than ~3 trials.
     max_linesearch_steps: int = 15
+    # M-step early termination — the reference's torch.optim.LBFGS
+    # tolerances (utils.py:2012: tolerance_grad=1e-7, tolerance_change=1e-9;
+    # inf-norm of the gradient / absolute objective change between accepted
+    # steps).  Nonzero values wrap the zoom L-BFGS step in a lax.cond whose
+    # converged branch is an identity copy: once theta is stationary the
+    # remaining n_mstep steps cost ZERO Gram rebuilds (late EM iterations
+    # move theta very little, so this is where the M-step's ~84% share of
+    # the iteration budget goes).  0.0 (default) disables the gate and keeps
+    # the traced program identical to the plain scan.  Applies to the
+    # "zoom" and "zoom_carry" line searches.
+    mstep_gtol: float = 0.0
+    mstep_ftol: float = 0.0
 
     def __post_init__(self):
         if self.eigensolver not in ("eigh", "subspace"):

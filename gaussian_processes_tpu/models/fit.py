@@ -46,11 +46,13 @@ from ..optim.lbfgs import (empty_lbfgs_memory, lbfgs_minimize,
                            lbfgs_minimize_zoom_carry, zoom_carry_init)
 
 
-def _minimize(cfg: FitConfig, fun, x0, num_steps):
+def _minimize(cfg: FitConfig, fun, x0, num_steps, gtol=0.0, ftol=0.0):
     """Inner L-BFGS dispatch on cfg.linesearch (see FitConfig).  The
     "zoom_carry" mode only changes the M-step (state threaded through the
     EM carry); every other minimize site — the f-param updates, and the
-    M-step when mstep_memory is off — runs the plain zoom."""
+    M-step when mstep_memory is off — runs the plain zoom.  ``gtol``/
+    ``ftol`` (M-step call site only) early-terminate converged zoom
+    L-BFGS runs; see FitConfig.mstep_gtol."""
     if cfg.linesearch == "armijo":
         return lbfgs_minimize_armijo(fun, x0, num_steps,
                                      ls_trials=cfg.armijo_trials)
@@ -63,7 +65,8 @@ def _minimize(cfg: FitConfig, fun, x0, num_steps):
             fun, x0, num_steps, max_backtracks=cfg.armijo_trials)
         return x, f
     return lbfgs_minimize(fun, x0, num_steps,
-                          max_linesearch_steps=cfg.max_linesearch_steps)
+                          max_linesearch_steps=cfg.max_linesearch_steps,
+                          gtol=gtol, ftol=ftol)
 
 
 def _mstep_carries_memory(cfg: FitConfig) -> bool:
@@ -613,13 +616,16 @@ def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
                 if cfg.linesearch == "zoom_carry":
                     theta, _, mem = lbfgs_minimize_zoom_carry(
                         obj, theta, cfg.n_mstep, state=c.mem,
-                        max_linesearch_steps=cfg.max_linesearch_steps)
+                        max_linesearch_steps=cfg.max_linesearch_steps,
+                        gtol=cfg.mstep_gtol, ftol=cfg.mstep_ftol)
                 else:
                     theta, _, mem = lbfgs_minimize_speculative(
                         obj, theta, cfg.n_mstep,
                         max_backtracks=cfg.armijo_trials, memory=c.mem)
             else:
-                theta, _ = _minimize(cfg, obj, theta, cfg.n_mstep)
+                theta, _ = _minimize(cfg, obj, theta, cfg.n_mstep,
+                                     gtol=cfg.mstep_gtol,
+                                     ftol=cfg.mstep_ftol)
 
         new = Carry(theta, f_params, m_b, V_b, kern, lambda_m, lambda_var,
                     track, c.failed, c.failed_at, mem)

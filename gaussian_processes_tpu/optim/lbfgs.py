@@ -70,7 +70,8 @@ def _zoom_opt(memory_size: int, max_linesearch_steps: int):
 
 def lbfgs_minimize(fun: Callable[[Any], jnp.ndarray], x0: Any,
                    num_steps: int, memory_size: int = 15,
-                   max_linesearch_steps: int = 20) -> Tuple[Any, jnp.ndarray]:
+                   max_linesearch_steps: int = 20, gtol: float = 0.0,
+                   ftol: float = 0.0) -> Tuple[Any, jnp.ndarray]:
     """Run ``num_steps`` L-BFGS iterations minimizing ``fun`` from ``x0``.
 
     Returns ``(x_best, f_best)``.  The best-so-far iterate is tracked
@@ -80,7 +81,7 @@ def lbfgs_minimize(fun: Callable[[Any], jnp.ndarray], x0: Any,
     backtracks.  NaN objective values freeze the iterate.
     """
     return _drive_lbfgs(_zoom_opt(memory_size, max_linesearch_steps),
-                        fun, x0, num_steps)
+                        fun, x0, num_steps, gtol=gtol, ftol=ftol)
 
 
 def zoom_carry_init(x0: Any, memory_size: int = 15,
@@ -93,7 +94,8 @@ def zoom_carry_init(x0: Any, memory_size: int = 15,
 def lbfgs_minimize_zoom_carry(fun: Callable[[Any], jnp.ndarray], x0: Any,
                               num_steps: int, state: Any,
                               memory_size: int = 15,
-                              max_linesearch_steps: int = 20
+                              max_linesearch_steps: int = 20,
+                              gtol: float = 0.0, ftol: float = 0.0
                               ) -> Tuple[Any, jnp.ndarray, Any]:
     """Strong-Wolfe zoom L-BFGS whose optimizer state (curvature memory)
     is CARRIED across calls — the cross-EM-iteration warm start for the
@@ -123,22 +125,37 @@ def lbfgs_minimize_zoom_carry(fun: Callable[[Any], jnp.ndarray], x0: Any,
     value = optax.tree.get(state, "value")
     state = optax.tree.set(state, value=jnp.full_like(value, jnp.inf))
     return _drive_lbfgs(opt, fun, x0, num_steps, state0=state,
-                        return_state=True)
+                        return_state=True, gtol=gtol, ftol=ftol)
 
 
-def _drive_lbfgs(opt, fun, x0, num_steps, state0=None, return_state=False):
+def _drive_lbfgs(opt, fun, x0, num_steps, state0=None, return_state=False,
+                 gtol: float = 0.0, ftol: float = 0.0):
     """Shared L-BFGS driver with EVAL-FREE best-iterate tracking: the
     linesearch stores the accepted point's value (and, for store_grad
     searches, its gradient) in the optimizer state, so both the next
     update's value+grad and the best-so-far bookkeeping reuse it instead of
     paying one extra objective evaluation per step (~10 Gram rebuilds per
-    M-step at production shapes)."""
+    M-step at production shapes).
+
+    ``gtol`` / ``ftol`` are the reference's ``torch.optim.LBFGS``
+    early-termination tolerances (utils.py:2012: tolerance_grad=1e-7,
+    tolerance_change=1e-9 — inf-norm of the gradient, and the absolute
+    objective change between accepted steps).  When either is nonzero the
+    step body is wrapped in a ``lax.cond`` whose converged branch is an
+    identity copy, so a converged M-step's remaining L-BFGS steps cost no
+    objective evaluations (the stored value/grad serve the predicate for
+    free).  Both zero (the default) keeps the plain scan body — the traced
+    program is unchanged, preserving compiled-program cache hits."""
     value_and_grad = optax.value_and_grad_from_state(fun)
     if state0 is None:
         state0 = opt.init(x0)
+    early = (gtol > 0.0) or (ftol > 0.0)
 
     def step(carry, _):
-        x, state, x_best, f_best, was_frozen = carry
+        if early:
+            x, state, x_best, f_best, was_frozen, done, f_prev = carry
+        else:
+            x, state, x_best, f_best, was_frozen = carry
         value, grad = value_and_grad(x, state=state)
         # best-iterate bookkeeping for the CURRENT point, from the stored
         # (or, at step 0, freshly computed) value — no extra evaluation.
@@ -150,21 +167,50 @@ def _drive_lbfgs(opt, fun, x0, num_steps, state0=None, return_state=False):
         x_best = jax.tree_util.tree_map(
             lambda b, c: jnp.where(better, c, b), x_best, x)
         f_best = jnp.where(better, value_for_best, f_best)
-        updates, state = opt.update(grad, state, x, value=value, grad=grad,
-                                    value_fn=fun)
-        x_new = optax.apply_updates(x, updates)
-        # Freeze on non-finite parameters (divergent line search).
-        bad = ~jnp.all(jnp.asarray(
-            [jnp.all(jnp.isfinite(leaf))
-             for leaf in jax.tree_util.tree_leaves(x_new)]))
-        x_new = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(bad, old, new), x_new, x)
-        return (x_new, state, x_best, f_best, bad), value
+
+        def do_update(x, state):
+            updates, state = opt.update(grad, state, x, value=value,
+                                        grad=grad, value_fn=fun)
+            x_new = optax.apply_updates(x, updates)
+            # Freeze on non-finite parameters (divergent line search).
+            bad = ~jnp.all(jnp.asarray(
+                [jnp.all(jnp.isfinite(leaf))
+                 for leaf in jax.tree_util.tree_leaves(x_new)]))
+            x_new = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(bad, old, new), x_new, x)
+            return x_new, state, bad
+
+        if not early:
+            x_new, state, bad = do_update(x, state)
+            return (x_new, state, x_best, f_best, bad), value
+
+        # Convergence predicate from the STORED value/grad (free).  A
+        # frozen step keeps stepping from the reverted x as before; its
+        # stale stored value must not feed the ftol test.
+        conv = jnp.asarray(False)
+        if gtol > 0.0:
+            gmax = jnp.max(jnp.asarray(
+                [jnp.max(jnp.abs(leaf))
+                 for leaf in jax.tree_util.tree_leaves(grad)]))
+            conv = conv | (jnp.isfinite(value) & (gmax <= gtol))
+        if ftol > 0.0:
+            # |f - f_prev| over ACCEPTED steps; f_prev starts at +inf so
+            # step 0 never triggers, and a frozen step resets the window.
+            conv = conv | (jnp.abs(value - f_prev) < ftol)
+        done = done | (conv & ~was_frozen)
+        x_new, state, bad = jax.lax.cond(
+            done, lambda x, s: (x, s, jnp.asarray(False)), do_update,
+            x, state)
+        f_prev = jnp.where(was_frozen, jnp.inf, value)
+        return (x_new, state, x_best, f_best, bad, done, f_prev), value
 
     f_best0 = jnp.asarray(jnp.inf, jnp.result_type(float))
-    (xf, state_f, x_best, f_best, frozen_f), _ = jax.lax.scan(
-        step, (x0, state0, x0, f_best0, jnp.asarray(False)), None,
-        length=num_steps)
+    carry0 = (x0, state0, x0, f_best0, jnp.asarray(False))
+    if early:
+        carry0 = carry0 + (jnp.asarray(False),
+                           jnp.asarray(jnp.inf, jnp.result_type(float)))
+    out_carry, _ = jax.lax.scan(step, carry0, None, length=num_steps)
+    xf, state_f, x_best, f_best, frozen_f = out_carry[:5]
     # fold the final iterate in (its value is stored in the state; same
     # frozen-step poisoning as above)
     value_f, _ = optax.value_and_grad_from_state(fun)(xf, state=state_f)

@@ -100,6 +100,7 @@ def test_guards():
     assert np.isfinite(float(safe_acos(jnp.asarray(1.5))))
 
 
+@pytest.mark.slow
 def test_plotting_smoke(tmp_path):
     import matplotlib
     matplotlib.use("Agg")

@@ -486,6 +486,7 @@ def test_speculative_memory_modes_identical():
     assert lm[-1] > lm[0]
 
 
+@pytest.mark.slow
 def test_zoom_carry_matches_zoom_closely():
     """zoom_carry runs the SAME strong-Wolfe zoom steps — only the L-BFGS
     curvature memory persists across EM iterations — so its trajectory must
@@ -510,6 +511,37 @@ def test_zoom_carry_matches_zoom_closely():
     np.testing.assert_allclose(lc[:2], lz[:2], rtol=1e-10)
     np.testing.assert_allclose(lc, lz, rtol=0.03)
     assert lc[-1] >= lz[0]
+
+
+@pytest.mark.slow
+def test_mstep_early_termination_tolerances():
+    """mstep_gtol / mstep_ftol reproduce the reference's torch.optim.LBFGS
+    early-termination semantics (utils.py:2012).  A tight ftol (1e-9, the
+    torch default) must leave the f64 trajectory essentially unchanged; a
+    loose ftol may stop M-steps early but must still converge to the same
+    neighborhood (the skipped steps are the ones that were no longer
+    moving theta)."""
+    import dataclasses
+    x, r = synthetic_problem()
+    base = FitConfig(ntilde=x.shape[0], maxiter=5, n_estep=3, n_mstep=4,
+                     n_fparamstep=3, n_px_side=N, jit_whole_fit=False)
+    jth = {k: jnp.float64(v) for k, v in THETA0.items()}
+    jfp = {k: jnp.float64(v) for k, v in FP0.items()}
+    res = fit(jnp.asarray(x), jnp.asarray(r), base, xtilde=jnp.asarray(x),
+              theta=jth, f_params=jfp)
+    res_t = fit(jnp.asarray(x), jnp.asarray(r),
+                dataclasses.replace(base, mstep_ftol=1e-9, mstep_gtol=1e-7),
+                xtilde=jnp.asarray(x), theta=jth, f_params=jfp)
+    res_l = fit(jnp.asarray(x), jnp.asarray(r),
+                dataclasses.replace(base, mstep_ftol=1e-2),
+                xtilde=jnp.asarray(x), theta=jth, f_params=jfp)
+    lm = np.asarray(res.track.logmarginal)
+    lt = np.asarray(res_t.track.logmarginal)
+    ll = np.asarray(res_l.track.logmarginal)
+    assert not res_t.failed and not res_l.failed
+    np.testing.assert_allclose(lt, lm, rtol=1e-6)
+    np.testing.assert_allclose(ll, lm, rtol=0.03)
+    assert ll[-1] >= lm[0]
 
 
 @pytest.mark.slow
@@ -544,6 +576,7 @@ def test_schulz_solvers_match_exact_paths():
                                    float(res_exact.theta[k]), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_pinned_schedule_matches_unpinned():
     """pin_rank / pin_window_w only pin STATIC SHAPES (a rank floor, a
     window-size floor); the dropped coordinates are exact zeros and cropped
@@ -568,6 +601,7 @@ def test_pinned_schedule_matches_unpinned():
                                np.asarray(base.m_b).sum(), rtol=1e-7)
 
 
+@pytest.mark.slow
 def test_fit_projected_mstep_matches_exact():
     """cfg.mstep_gram="projected" tracks the exact-Gram fit.  At full rank
     the projection is the identity (trajectories agree to fp roundoff); at
@@ -597,6 +631,7 @@ def test_fit_projected_mstep_matches_exact():
                                        err_msg=f"rank={rank} theta[{k}]")
 
 
+@pytest.mark.slow
 def test_fit_projected_poison_fallback():
     """mstep_proj_fallback="poison" (the vmapped-population mode): at full
     rank it matches the exact fit; at an insufficient rank every M-step

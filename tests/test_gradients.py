@@ -94,6 +94,7 @@ def test_mstep_autodiff_matches_analytic():
                                    rtol=2e-6, atol=1e-9, err_msg=k)
 
 
+@pytest.mark.slow
 def test_mstep_autodiff_matches_finite_differences():
     x, xtilde, r, theta, f_params = setup()
     cfg = FitConfig(ntilde=NTILDE, n_px_side=N)
