@@ -121,8 +121,26 @@ def make_config(FitConfig, maxiter=None):
     pin_w = int(os.environ.get("GPTPU_BENCH_PIN_W", "80")) or None
     return FitConfig(
         ntilde=NTILDE, maxiter=MAXITER if maxiter is None else maxiter,
-        n_estep=N_ESTEP, n_mstep=N_MSTEP, n_fparamstep=N_FPARAMSTEP,
-        n_px_side=N_PX, track_variational=False, jit_whole_fit=False,
+        # step-count overrides are for ABLATION runs only (phase
+        # decomposition); the headline numbers always use the reference's
+        # nEstep=10 / nMstep=10 / nFparamstep=10
+        n_estep=int(os.environ.get("GPTPU_BENCH_N_ESTEP", N_ESTEP)),
+        n_mstep=int(os.environ.get("GPTPU_BENCH_N_MSTEP", N_MSTEP)),
+        n_fparamstep=int(os.environ.get("GPTPU_BENCH_N_FPARAMSTEP",
+                                        N_FPARAMSTEP)),
+        n_px_side=N_PX, track_variational=False,
+        # whole-fit arm: ONE compiled program for the entire EM loop (no
+        # per-iteration dispatch or schedule probes).  Its crop window is
+        # fixed from the initial theta at crop_margin*1.5 and verified
+        # post hoc (auto-fallback to the tracking-window path when the RF
+        # outgrows it), so a tuned margin keeps the measured w=80 window
+        # without giving up exactness.
+        jit_whole_fit=bool(int(os.environ.get("GPTPU_BENCH_WHOLE_FIT",
+                                              "0"))),
+        whole_fit_rank=(int(os.environ.get("GPTPU_BENCH_PIN_RANK", "384"))
+                        if int(os.environ.get("GPTPU_BENCH_WHOLE_FIT", "0"))
+                        else None),
+        crop_margin=float(os.environ.get("GPTPU_BENCH_CROP_MARGIN", "1.25")),
         # zoom, measured 14.66 s vs speculative's 19.8 s at the headline
         # config AND converging further (r2 1.027 vs 0.873): the
         # strong-Wolfe curvature condition buys better steps than its
@@ -160,7 +178,11 @@ def make_config(FitConfig, maxiter=None):
         # 12.11 s -> 6.34 s at held-out r2 1.026 vs 1.028 (A/B sweep
         # 0.3/1.0/3.0, round 3; see COVERAGE.md).
         mstep_ftol=float(os.environ.get("GPTPU_BENCH_MSTEP_FTOL", "1.0")),
-        mstep_gtol=float(os.environ.get("GPTPU_BENCH_MSTEP_GTOL", "0")))
+        mstep_gtol=float(os.environ.get("GPTPU_BENCH_MSTEP_GTOL", "0")),
+        max_linesearch_steps=int(os.environ.get("GPTPU_BENCH_MAX_LS", "15")),
+        # E-step Newton early exit on a stalled posterior mean (relative
+        # inf-norm move; 0 = off, all n_estep steps)
+        estep_tol=float(os.environ.get("GPTPU_BENCH_ESTEP_TOL", "0")))
 
 
 def make_data(seed=0):

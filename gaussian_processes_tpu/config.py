@@ -313,6 +313,15 @@ class FitConfig:
     # "zoom" and "zoom_carry" line searches.
     mstep_gtol: float = 0.0
     mstep_ftol: float = 0.0
+    # E-step early termination (relative inf-norm move of the posterior
+    # mean between Newton steps; 0 = run all n_estep steps).  The alpha=1
+    # Newton update converges quadratically, so late EM iterations
+    # typically need 2-3 of the configured steps; converged steps take a
+    # lax.cond identity branch, skipping their SPD solve AND their f-param
+    # L-BFGS run.  The reference has no analog (it always runs nEstep
+    # torch steps) — this is a wall-clock knob with the same convergence
+    # target, not a semantics change when left at 0.
+    estep_tol: float = 0.0
 
     def __post_init__(self):
         if self.eigensolver not in ("eigh", "subspace"):

@@ -290,10 +290,18 @@ def _estep_block(x, r, kern: KernelState, m_b, V_b, f_params, lambda_m,
     Newton step after the first is warm-started from the previous step's
     inverse via Newton-Schulz (exact-Cholesky fallback in-graph): f moves
     less and less between Newton steps, so the seed converges in a few MXU
-    matmuls and the per-step triangular-solve latency disappears."""
-    schulz = cfg.estep_solver == "schulz"
+    matmuls and the per-step triangular-solve latency disappears.
 
-    def body(i, state):
+    ``cfg.estep_tol`` (0 = off) early-terminates the Newton loop once the
+    posterior mean stops moving — the alpha=1 Newton update converges
+    quadratically, so late EM iterations typically need 2-3 of the
+    configured n_estep steps.  Converged steps take a lax.cond identity
+    branch (zero solves, zero f-param L-BFGS runs), exactly like the
+    M-step's mstep_ftol gate."""
+    schulz = cfg.estep_solver == "schulz"
+    early = cfg.estep_tol > 0.0
+
+    def one_step(i, state):
         m_b, V_b, f_params, lambda_m, lambda_var, Minv = state
         f_mean = mean_f_given_lambda_moments(f_params, lambda_m, lambda_var)
         if schulz:
@@ -316,10 +324,33 @@ def _estep_block(x, r, kern: KernelState, m_b, V_b, f_params, lambda_m,
         f_params = {"logA": logA, "lambda0": lam0}
         return m_b, V_b, f_params, lambda_m, lambda_var, Minv
 
+    if not early:
+        def body(i, state):
+            return one_step(i, state)
+    else:
+        def body(i, state):
+            inner, done = state
+            def upd(inner):
+                m_old = inner[0]
+                new = one_step(i, inner)
+                # relative inf-norm move of the posterior mean; lambda
+                # moments, V and the f-params are smooth functions of m, so
+                # a stalled m means a stalled E-step
+                dm = jnp.max(jnp.abs(new[0] - m_old))
+                conv = dm <= cfg.estep_tol * (1.0 + jnp.max(jnp.abs(m_old)))
+                return new, conv
+            new, conv = lax.cond(done, lambda s: (s, jnp.asarray(True)),
+                                 upd, inner)
+            return new, done | conv
+
     rank = m_b.shape[0]
     state = (m_b, V_b, f_params, lambda_m, lambda_var,
              jnp.zeros((rank, rank), m_b.dtype))
-    out = lax.fori_loop(0, cfg.n_estep, body, state)
+    if early:
+        state = (state, jnp.asarray(False))
+        out = lax.fori_loop(0, cfg.n_estep, body, state)[0]
+    else:
+        out = lax.fori_loop(0, cfg.n_estep, body, state)
     return out[:5]
 
 

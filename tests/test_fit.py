@@ -513,6 +513,34 @@ def test_zoom_carry_matches_zoom_closely():
     assert lc[-1] >= lz[0]
 
 
+def test_estep_early_termination_tolerance():
+    """estep_tol gates the Newton E-step loop on a stalled posterior mean.
+    A tight tolerance (1e-12 relative) must leave the f64 trajectory
+    essentially unchanged (the gate only skips steps that moved m below
+    that); a loose one must still converge to the same neighborhood."""
+    import dataclasses
+    x, r = synthetic_problem()
+    base = FitConfig(ntilde=x.shape[0], maxiter=5, n_estep=4, n_mstep=3,
+                     n_fparamstep=3, n_px_side=N, jit_whole_fit=False)
+    jth = {k: jnp.float64(v) for k, v in THETA0.items()}
+    jfp = {k: jnp.float64(v) for k, v in FP0.items()}
+    res = fit(jnp.asarray(x), jnp.asarray(r), base, xtilde=jnp.asarray(x),
+              theta=jth, f_params=jfp)
+    res_t = fit(jnp.asarray(x), jnp.asarray(r),
+                dataclasses.replace(base, estep_tol=1e-12),
+                xtilde=jnp.asarray(x), theta=jth, f_params=jfp)
+    res_l = fit(jnp.asarray(x), jnp.asarray(r),
+                dataclasses.replace(base, estep_tol=1e-3),
+                xtilde=jnp.asarray(x), theta=jth, f_params=jfp)
+    lm = np.asarray(res.track.logmarginal)
+    lt = np.asarray(res_t.track.logmarginal)
+    ll = np.asarray(res_l.track.logmarginal)
+    assert not res_t.failed and not res_l.failed
+    np.testing.assert_allclose(lt, lm, rtol=1e-7)
+    np.testing.assert_allclose(ll, lm, rtol=0.03)
+    assert ll[-1] >= lm[0]
+
+
 @pytest.mark.slow
 def test_mstep_early_termination_tolerances():
     """mstep_gtol / mstep_ftol reproduce the reference's torch.optim.LBFGS
