@@ -322,6 +322,20 @@ class FitConfig:
     # torch steps) — this is a wall-clock knob with the same convergence
     # target, not a semantics change when left at 0.
     estep_tol: float = 0.0
+    # Static per-iteration schedule: skip the in-loop window/rank probes
+    # entirely and dispatch every EM iteration back-to-back with the
+    # INITIAL window (grown to the pin_window_w floor) and the init rank.
+    # The in-loop probe's device_get makes the host wait for iteration
+    # i-1's completion before dispatching iteration i, so every iteration
+    # pays one tunnel round trip of device idle; with the schedule pinned
+    # (pin_rank / pin_window_w at the measured steady state) the probes
+    # decide nothing.  Exactness contract mirrors the whole-fit program:
+    # ONE post-hoc check of the final theta's margin-1.0 alpha mask
+    # against the dispatched window, and of the tracked kept-rank against
+    # the rank budget — on violation the fit re-runs with the dynamic
+    # (probing) schedule.  Per-iteration mode only; ignored when
+    # jit_whole_fit=True.
+    static_schedule: bool = False
 
     def __post_init__(self):
         if self.eigensolver not in ("eigh", "subspace"):

@@ -249,12 +249,23 @@ def _build_kernel_state(theta: Theta, x, xtilde, shared: bool,
         if cfg.eigh_impl == "subspace":
             # the refresh is the same warm iteration driven harder (more
             # power steps pull the subspace onto the true top-rank span
-            # regardless of accumulated Rayleigh-Ritz drift) — and its
-            # executable is matmul-sized, where the full eigh at production
-            # ntilde compiles to ~120 MB (see compute_eigenspace_iterative)
-            refresh = lambda: compute_eigenspace_iterative(
-                K_tilde, rank, cfg.eigval_tol,
-                n_power=cfg.refresh_power_steps, seed_B=es_warm.B)
+            # regardless of accumulated Rayleigh-Ritz drift).  It uses the
+            # CholQR orthogonalization (one Rayleigh-Ritz eigh total): the
+            # clamped-eigh orthogonalization inside compute_eigenspace_
+            # iterative exists for ill-conditioned COLD subspaces, and at
+            # rank 384 each eigh costs ~20 ms of sequential panel work on
+            # this hardware — a refresh paid 9 of them per firing (~32% of
+            # the whole fit, profiled round 3).  A rank-deficient CholQR
+            # falls back to the eigh-orthogonalized route in-graph.
+            def refresh():
+                es_r, ok_r = subspace_eigenspace(
+                    K_tilde, es_warm.B, cfg.eigval_tol,
+                    n_power=cfg.refresh_power_steps)
+                return lax.cond(
+                    ok_r, lambda: es_r,
+                    lambda: compute_eigenspace_iterative(
+                        K_tilde, rank, cfg.eigval_tol,
+                        n_power=cfg.refresh_power_steps, seed_B=es_warm.B))
         else:
             refresh = lambda: compute_eigenspace(K_tilde, cfg.eigval_tol,
                                                  rank=rank)
@@ -1084,6 +1095,66 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
                 "(fast-drifting RF outran the lag-1 window schedule); that "
                 "iteration's kernels were inexact.  Increase crop_margin "
                 "or disable crop_window for this cell.")
+
+        if cfg.static_schedule:
+            # No in-loop probes: every iteration is dispatched back-to-back
+            # with the INIT window and rank, so the device never idles on a
+            # host round trip (see config.static_schedule).  Exactness is
+            # checked once post hoc, with a dynamic-schedule re-run as the
+            # fallback — the same contract as the whole-fit program above.
+            for i in range(1, cfg.maxiter):
+                ti = _time.perf_counter()
+                warm = (reduced and cfg.eigensolver == "subspace"
+                        and carry.m_b.shape[0] < ntilde)
+                used_warm = used_warm or warm
+                carry = _fit_iteration_jit(jnp.asarray(i, jnp.int32), carry,
+                                           x, r, xtilde, shared=shared,
+                                           cfg=cfg_it,
+                                           bounds_static=bounds_static,
+                                           wt=wt, wi=wi,
+                                           do_mstep=(i < cfg.maxiter - 1),
+                                           warm_eigh=warm,
+                                           **wargs0)
+                if profile:
+                    jax.block_until_ready(carry.m_b)
+                    timing["per_iteration"].append(_time.perf_counter() - ti)
+            carry = _fit_finalize_jit(carry, cfg=cfg_it)
+            if profile:
+                jax.block_until_ready(carry.m_b)
+                timing["total"] = _time.perf_counter() - t0
+            rank_now = carry.m_b.shape[0]
+            saturated = (reduced and rank_now < ntilde
+                         and int(jnp.max(carry.track.n_eigen)) >= rank_now)
+            fin = tuple(float(v)
+                        for v in jax.device_get(_sync_probe_jit(carry))[:3])
+            if saturated or (cfg.crop_window
+                             and not window_covers(wargs0, *fin)):
+                import warnings as _warnings
+                _warnings.warn(
+                    "static_schedule run was inexact (rank budget "
+                    "saturated or the RF outgrew the fixed window); "
+                    "re-running with the dynamic probing schedule")
+                return fit(x, r,
+                           dataclasses.replace(cfg, static_schedule=False),
+                           xtilde=xtilde, theta=theta, f_params=f_params,
+                           m=m, V=V, sample_weight=sample_weight,
+                           inducing_weight=inducing_weight,
+                           init_kernel=init_kernel, mesh=mesh, seed=seed,
+                           profile=profile)
+            kern = carry.kern
+            es = kern.es
+            return FitResult(
+                config=cfg, xtilde=xtilde, theta=carry.theta,
+                theta_lower=lower, theta_upper=upper,
+                f_params=carry.f_params, m_b=carry.m_b, V_b=carry.V_b,
+                B=es.B, keep=es.keep, eigvals=es.eigvals,
+                k_tilde_b_diag=es.k_tilde_b_diag,
+                k_tilde_inv_diag=es.k_tilde_inv_diag,
+                K_tilde=kern.K_tilde, K=kern.K, Kvec=kern.Kvec, K_b=kern.K_b,
+                a=kern.a, track=carry.track,
+                failed=bool(carry.failed), failed_at=int(carry.failed_at),
+                timing=timing, used_warm_basis=used_warm,
+            )
 
         # Retroactive exactness check for the lag-1 pipelined window
         # schedule: when iteration i-2's end-state probe arrives, verify the

@@ -335,6 +335,31 @@ def test_subspace_eigensolver_tracks_eigh():
     np.testing.assert_allclose(l1, l0, rtol=0.02)
 
 
+def test_subspace_cholqr_refresh_tracks_eigh():
+    """The periodic refresh of the warm eigensolver with
+    eigh_impl="subspace" (the headline-bench lowering) now runs the CholQR
+    warm routine driven harder, with the eigh-orthogonalized route as the
+    in-graph fallback — it must track the full-eigh trajectory within the
+    same tolerance as the warm solver itself."""
+    import dataclasses
+    x, r, xt, theta = _lowrank_problem()
+    cfg0 = FitConfig(ntilde=xt.shape[0], maxiter=8, n_estep=3, n_mstep=3,
+                     n_fparamstep=3, n_px_side=N, jit_whole_fit=False,
+                     crop_window=False, reduced_rank=True, rank_bucket=8,
+                     rank_pad=4, eigensolver="eigh")
+    cfg1 = dataclasses.replace(cfg0, eigensolver="subspace",
+                               eigh_impl="subspace", eigh_refresh_every=2,
+                               refresh_power_steps=4)
+    r0 = fit(jnp.asarray(x), jnp.asarray(r), cfg0, xtilde=jnp.asarray(xt),
+             theta=theta)
+    r1 = fit(jnp.asarray(x), jnp.asarray(r), cfg1, xtilde=jnp.asarray(xt),
+             theta=theta)
+    l0 = np.asarray(r0.track.logmarginal)
+    l1 = np.asarray(r1.track.logmarginal)
+    assert not r1.failed
+    np.testing.assert_allclose(l1, l0, rtol=0.02)
+
+
 @pytest.mark.slow
 def test_init_kernel_warm_start():
     """fit(init_kernel=) skips the initial gram+eigh and reproduces the
@@ -511,6 +536,31 @@ def test_zoom_carry_matches_zoom_closely():
     np.testing.assert_allclose(lc[:2], lz[:2], rtol=1e-10)
     np.testing.assert_allclose(lc, lz, rtol=0.03)
     assert lc[-1] >= lz[0]
+
+
+def test_static_schedule_matches_dynamic():
+    """static_schedule dispatches all iterations with the init window and
+    rank instead of probing the carry each iteration.  At a config whose
+    dynamic schedule is stable (small frame, no crop) the two paths run
+    the SAME programs on the same schedule, so trajectories must match to
+    float noise."""
+    import dataclasses
+    x, r = synthetic_problem()
+    base = FitConfig(ntilde=x.shape[0], maxiter=5, n_estep=3, n_mstep=3,
+                     n_fparamstep=3, n_px_side=N, jit_whole_fit=False)
+    jth = {k: jnp.float64(v) for k, v in THETA0.items()}
+    jfp = {k: jnp.float64(v) for k, v in FP0.items()}
+    res_d = fit(jnp.asarray(x), jnp.asarray(r), base, xtilde=jnp.asarray(x),
+                theta=jth, f_params=jfp)
+    res_s = fit(jnp.asarray(x), jnp.asarray(r),
+                dataclasses.replace(base, static_schedule=True),
+                xtilde=jnp.asarray(x), theta=jth, f_params=jfp)
+    assert not res_s.failed
+    np.testing.assert_allclose(np.asarray(res_s.track.logmarginal),
+                               np.asarray(res_d.track.logmarginal),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(res_s.m_b),
+                               np.asarray(res_d.m_b), rtol=1e-8)
 
 
 def test_estep_early_termination_tolerance():
