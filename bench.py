@@ -119,9 +119,11 @@ def make_config(FitConfig, maxiter=None):
     flapping at a bucket boundary (~10 min/extra compile).  The resolved
     defaults are the measured round-3 optimum — static dispatch schedule,
     mstep_ftol=1.0 / estep_tol=1e-3 convergence gates, zoom trial budget
-    8, rank 320, CholQR refresh at 4 power steps: 4.55 s vs the
-    reference's 85.2 s with held-out r2 within 0.002 of the ungated fit
-    (every step measured individually; see COVERAGE.md)."""
+    4, rank 320, CholQR refresh at 4 power steps: 4.06 s (21.0x) vs the
+    reference's 85.2 s with held-out r2 within 0.003 of the ungated fit
+    (every step measured individually; budget 3 is too tight — the theta
+    path drifts, the exactness fallback fires and re-runs dynamically at
+    8.0 s; see COVERAGE.md)."""
     pin_rank = int(os.environ.get("GPTPU_BENCH_PIN_RANK", "320")) or None
     pin_w = int(os.environ.get("GPTPU_BENCH_PIN_W", "80")) or None
     return FitConfig(
@@ -186,7 +188,7 @@ def make_config(FitConfig, maxiter=None):
         # 0.3/1.0/3.0, round 3; see COVERAGE.md).
         mstep_ftol=float(os.environ.get("GPTPU_BENCH_MSTEP_FTOL", "1.0")),
         mstep_gtol=float(os.environ.get("GPTPU_BENCH_MSTEP_GTOL", "0")),
-        max_linesearch_steps=int(os.environ.get("GPTPU_BENCH_MAX_LS", "8")),
+        max_linesearch_steps=int(os.environ.get("GPTPU_BENCH_MAX_LS", "4")),
         # E-step Newton early exit on a stalled posterior mean (relative
         # inf-norm move; 0 = off, all n_estep steps)
         estep_tol=float(os.environ.get("GPTPU_BENCH_ESTEP_TOL", "1e-3")),

@@ -31,7 +31,8 @@ from jax import lax
 
 from ..config import FitConfig, MATMUL_PRECISION, precision_scope
 from ..ops.kernels import (crop_images, crop_window_for_theta,
-                           gram_matrices, gram_matrices_projected,
+                           gram_matrices, gram_matrices_precropped,
+                           gram_matrices_projected,
                            gram_matrices_windowed, local_envelope,
                            smooth_projection_basis)
 from ..ops.precision import split_matmul
@@ -367,7 +368,8 @@ def _estep_block(x, r, kern: KernelState, m_b, V_b, f_params, lambda_m,
 
 def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
                      f_params, shared: bool, cfg: FitConfig,
-                     lower, upper, wt=None, wi=None, win=None, proj=None):
+                     lower, upper, wt=None, wi=None, win=None, proj=None,
+                     xcrop=None):
     """Negative log-marginal as a function of theta with the eigenspace B
     FIXED (reference closure: utils.py:2017-2112).  Out-of-bounds trial
     points return +inf (utils.py:2020-2028); the loss itself is evaluated on
@@ -410,6 +412,18 @@ def _mstep_objective(theta: Theta, x, xtilde, r, es: Eigenspace, m_b, V_b,
                 # lanes never batch the exact-Gram fallback
                 Kt, K, Kv = _apply_pad_weights(Kt, K, Kv, shared, wt, wi)
                 return Kt, K, Kv, p_ok
+        elif xcrop is not None and win is not None:
+            # the crop of the theta-independent stimuli is hoisted to the
+            # EM-iteration body (ONE strided copy per iteration instead of
+            # one per line-search evaluation — see gram_matrices_precropped)
+            xc_h, xtc_h = xcrop
+
+            def gram_fn(theta_t):
+                Kt, K, Kv = gram_matrices_precropped(
+                    theta_t, xc_h, xtc_h, cfg.n_px_side, shared,
+                    win[0], win[1], win[2], cfg.alpha_threshold)
+                Kt, K, Kv = _apply_pad_weights(Kt, K, Kv, shared, wt, wi)
+                return Kt, K, Kv, jnp.asarray(True)
         else:
             def gram_fn(theta_t):
                 Kt, K, Kv = _masked_grams(theta_t, x=x, xtilde=xtilde,
@@ -649,11 +663,21 @@ def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
                     xtc = x if shared else xtilde
                     pi0 = pj0 = 0
                 proj = (E, xc, xtc, pi0, pj0)
+            xcrop = None
+            if proj is None and win is not None:
+                # hoist the theta-independent crop out of the line search:
+                # one strided copy per EM iteration instead of one per
+                # objective evaluation (see gram_matrices_precropped)
+                xc = crop_images(x, win[0], win[1], win[2], cfg.n_px_side)
+                xtc = (xc if shared else
+                       crop_images(xtilde, win[0], win[1], win[2],
+                                   cfg.n_px_side))
+                xcrop = (xc, xtc)
             obj = partial(_mstep_objective, x=x, xtilde=xtilde, r=r,
                           es=kern.es, m_b=m_b, V_b=V_b,
                           f_params=f_params, shared=shared, cfg=cfg,
                           lower=lower, upper=upper, wt=wt, wi=wi,
-                          win=win, proj=proj)
+                          win=win, proj=proj, xcrop=xcrop)
             if _mstep_carries_memory(cfg):
                 if cfg.linesearch == "zoom_carry":
                     theta, _, mem = lbfgs_minimize_zoom_carry(

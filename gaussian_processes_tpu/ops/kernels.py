@@ -543,9 +543,27 @@ def gram_matrices_windowed(theta: Theta, x: jnp.ndarray, xtilde: jnp.ndarray,
     if w >= n_px_side:
         return gram_matrices(theta, x, xtilde, n_px_side, shared,
                              alpha_threshold, backend)
-    dtype = x.dtype
     xc = crop_images(x, i0, j0, w, n_px_side)
     xtc = xc if shared else crop_images(xtilde, i0, j0, w, n_px_side)
+    return gram_matrices_precropped(theta, xc, xtc, n_px_side, shared,
+                                    i0, j0, w, alpha_threshold, backend)
+
+
+def gram_matrices_precropped(theta: Theta, xc: jnp.ndarray,
+                             xtc: jnp.ndarray, n_px_side: int, shared: bool,
+                             i0, j0, w: int,
+                             alpha_threshold: float = ALPHA_THRESHOLD,
+                             backend: str = "xla"):
+    """``gram_matrices_windowed`` on ALREADY-CROPPED stimuli.
+
+    The crop itself (a strided reshape + dynamic-slice copy of the full
+    (nt, n^2) stimulus) is theta-independent, but closed over by the
+    M-step objective it executes once per line-search evaluation — ~15% of
+    the whole headline fit in device 'data formatting' time (profiled
+    round 3; XLA does not move the copies out of the line-search loop).
+    Callers hoist the crop to the EM-iteration body and pass (xc, xtc)
+    here, with (i0, j0) still locating the window's coordinate grid."""
+    dtype = xc.dtype
     xcord, ycord, lin_y, lin_x = window_coords(i0, j0, w, n_px_side, dtype)
 
     gb = jnp.exp(theta["-2log2beta"]).astype(dtype)

@@ -335,6 +335,7 @@ def test_subspace_eigensolver_tracks_eigh():
     np.testing.assert_allclose(l1, l0, rtol=0.02)
 
 
+@pytest.mark.slow
 def test_subspace_cholqr_refresh_tracks_eigh():
     """The periodic refresh of the warm eigensolver with
     eigh_impl="subspace" (the headline-bench lowering) now runs the CholQR
@@ -538,6 +539,7 @@ def test_zoom_carry_matches_zoom_closely():
     assert lc[-1] >= lz[0]
 
 
+@pytest.mark.slow
 def test_static_schedule_matches_dynamic():
     """static_schedule dispatches all iterations with the init window and
     rank instead of probing the carry each iteration.  At a config whose
@@ -563,6 +565,7 @@ def test_static_schedule_matches_dynamic():
                                np.asarray(res_d.m_b), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_estep_early_termination_tolerance():
     """estep_tol gates the Newton E-step loop on a stalled posterior mean.
     A tight tolerance (1e-12 relative) must leave the f64 trajectory
