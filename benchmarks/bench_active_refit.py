@@ -52,7 +52,14 @@ def main():
     # small-problem per-iteration mode)
     cfg = FitConfig(ntilde=CAPACITY, maxiter=10, n_estep=5, n_mstep=5,
                     n_fparamstep=5, n_px_side=N_PX, track_variational=False,
-                    jit_whole_fit=True)
+                    jit_whole_fit=True,
+                    # convergence gates (0 = off): the refit loss scale is
+                    # ~1e2-1e3, so ftol=0.3 is ~1e-3 relative — same class
+                    # of gate as the headline bench's ftol=1.0 at loss ~4e3
+                    mstep_ftol=float(os.environ.get("GPTPU_REFIT_MSTEP_FTOL",
+                                                    "0")),
+                    estep_tol=float(os.environ.get("GPTPU_REFIT_ESTEP_TOL",
+                                                   "0")))
 
     # Device-resident buffers: in a real active session the pad-and-mask
     # buffers live on device and are updated in place (models/active.py) —
