@@ -102,10 +102,19 @@ def main():
         return
 
     # --- sequential per-cell fits through the cached program ---
+    # gated zoom (the headline-bench optimum) is the recommended
+    # sequential route; GPTPU_POP_SEQ_LS=speculative reproduces the
+    # earlier round-3 record (1.01 s/cell)
     cfg1 = FitConfig(ntilde=NTILDE, maxiter=MAXITER, n_estep=NE, n_mstep=NM,
                      n_fparamstep=NF, n_px_side=N_PX,
                      track_variational=False, jit_whole_fit=False,
-                     linesearch="speculative")
+                     linesearch=os.environ.get("GPTPU_POP_SEQ_LS", "zoom"),
+                     mstep_ftol=float(os.environ.get("GPTPU_POP_MSTEP_FTOL",
+                                                     "1.0")),
+                     estep_tol=float(os.environ.get("GPTPU_POP_ESTEP_TOL",
+                                                    "1e-3")),
+                     max_linesearch_steps=int(os.environ.get(
+                         "GPTPU_POP_MAX_LS", "4")))
     fit(Xd, jnp.asarray(R[0]), cfg1, xtilde=xtilde, theta=theta,
         f_params=fp)                # compile
     t0 = time.perf_counter()
