@@ -179,6 +179,10 @@ def make_config(FitConfig, maxiter=None):
         pin_rank=pin_rank, pin_window_w=pin_w,
         refresh_power_steps=int(os.environ.get("GPTPU_BENCH_REFRESH_POWER",
                                                "4")),
+        subspace_power_steps=int(os.environ.get("GPTPU_BENCH_WARM_POWER",
+                                                "2")),
+        eigh_refresh_every=int(os.environ.get("GPTPU_BENCH_REFRESH_EVERY",
+                                              "8")),
         # M-step early termination (the torch tolerance_change analog,
         # utils.py:2012; 0 = run all n_mstep steps).  Late EM iterations
         # barely move theta, so converged L-BFGS steps skip their Gram
