@@ -392,6 +392,50 @@ class FitConfig:
             return self.ntilde
         return 100 if nt > 100 else nt
 
+    @classmethod
+    def tpu_fast(cls, *, loss_scale: float = 1e3, pin_rank: int = None,
+                 pin_window_w: int = None, **kwargs) -> "FitConfig":
+        """The measured TPU production preset (round-3 optimum, 21x vs the
+        reference's stored run at matching held-out r2 — the full A/B
+        ladder is in COVERAGE.md):
+
+        * convergence gates — ``mstep_ftol = 1e-3 * loss_scale`` (the
+          torch.optim.LBFGS tolerance_change analog, scaled to the
+          expected loss magnitude; the headline workload used 1.0 at a
+          final loss of ~1.7e3) and ``estep_tol = 1e-3`` (E-step Newton
+          stall gate);
+        * zoom trial budget 4 (the accepted path rarely needs more; the
+          budget bounds the cost of the final failing search a gated
+          M-step pays);
+        * ``static_schedule`` with the given pins (dispatch all EM
+          iterations back-to-back; ONE post-hoc exactness check,
+          dynamic-schedule auto re-run on violation), enabled whenever a
+          pin is supplied;
+        * small-executable subspace lowering for init and refresh
+          (``eigh_impl="subspace"``), CholQR refresh at 4 power steps.
+
+        ``loss_scale`` should be the rough magnitude of the training
+        loss (e.g. the Poisson ELL at initialization); every gate here
+        fails safe — too-tight gates merely run all configured steps,
+        and the schedule check re-runs dynamically on any violation.
+        All other fields pass through ``**kwargs``.
+        """
+        defaults = dict(
+            mstep_ftol=1e-3 * float(loss_scale),
+            estep_tol=1e-3,
+            max_linesearch_steps=4,
+            eigh_impl="subspace",
+            refresh_power_steps=4,
+            jit_whole_fit=False,
+            pin_rank=pin_rank,
+            pin_window_w=pin_window_w,
+            init_rank=kwargs.pop("init_rank", pin_rank),
+            static_schedule=(pin_rank is not None
+                             or pin_window_w is not None),
+        )
+        defaults.update(kwargs)
+        return cls(**defaults)
+
 
 def tree_cast(tree: Any, dtype) -> Any:
     """Cast every floating leaf of a pytree to ``dtype``."""

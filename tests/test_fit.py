@@ -565,6 +565,26 @@ def test_static_schedule_matches_dynamic():
                                np.asarray(res_d.m_b), rtol=1e-8)
 
 
+def test_tpu_fast_preset_converges():
+    """FitConfig.tpu_fast() — the packaged production preset — must fit
+    the synthetic problem to the same neighborhood as the default config
+    (gates fail safe; no pins on this small frame so the schedule stays
+    dynamic)."""
+    x, r = synthetic_problem()
+    cfg = FitConfig.tpu_fast(loss_scale=100.0, ntilde=x.shape[0],
+                             maxiter=5, n_estep=3, n_mstep=3,
+                             n_fparamstep=3, n_px_side=N)
+    assert cfg.mstep_ftol == pytest.approx(0.1)
+    assert not cfg.static_schedule
+    jth = {k: jnp.float64(v) for k, v in THETA0.items()}
+    jfp = {k: jnp.float64(v) for k, v in FP0.items()}
+    res = fit(jnp.asarray(x), jnp.asarray(r), cfg, xtilde=jnp.asarray(x),
+              theta=jth, f_params=jfp)
+    assert not res.failed
+    lm = np.asarray(res.track.logmarginal)
+    assert np.all(np.isfinite(lm)) and lm[-1] > lm[0]
+
+
 @pytest.mark.slow
 def test_estep_early_termination_tolerance():
     """estep_tol gates the Newton E-step loop on a stalled posterior mean.
