@@ -1,26 +1,123 @@
 """Device-time op breakdown of the headline fit via the XLA profiler.
 
-Runs the bench configuration warm, captures a profiler trace of a few
-steady-state EM iterations, and prints the top HLO ops by self time —
-the ground truth for where the per-iteration ~200 ms actually goes
+Runs the bench configuration warm, captures a profiler trace of the full
+compiled fit, and prints the leaf-HLO device time grouped three ways —
+by HLO category, by source line, and the custom-call family by op stack —
+the ground truth for where the per-iteration device time actually goes
 (estimates from flop/byte counts repeatedly mislead here; see
-COVERAGE.md round-3 ablations).
+docs/tpu_linalg.md rule 7 and the COVERAGE.md round-3 ablations).
+
+The trace is parsed directly from the captured ``.xplane.pb`` with the
+TSL protobuf schema: the ``tensorboard_plugin_profile`` gviz conversion
+layer in this image is bit-rotted against its tensorflow build (missing
+``xspace_to_tools_data`` pywrap symbol), while the raw XSpace parse needs
+nothing beyond protobuf.  Leaf events on the "XLA Ops" line carry
+``hlo_category``, ``source``, ``flops`` and ``shape_with_layout`` stats;
+parent control-flow events (while/conditional) and async DMA starts are
+excluded so times sum to real core-serial execution.
 
 Usage: python benchmarks/profile_device_ops.py [n_top]
 """
 
+import collections
 import glob
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("GPTPU_GRAD_PRECISION", "default")
+# tensorflow's bundled proto stubs predate the installed protobuf; the
+# pure-python fallback parses the XSpace fine (slower, but the trace is
+# tens of MB at most).
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 TRACE_DIR = "/tmp/gptpu_trace"
 
+# Parent / overlapped event categories: their intervals contain the leaf
+# ops below them (control flow) or span asynchronous DMA waits that
+# overlap real compute; counting them would double-count the core time.
+_NON_LEAF = ("while", "conditional", "call", "async-start", "copy-start")
+
+
+def _stat_value(st, stat_metadata):
+    if st.str_value:
+        return st.str_value
+    if st.ref_value:
+        return stat_metadata[st.ref_value].name
+    return st.int64_value or st.uint64_value or st.double_value
+
+
+def summarize_xplane(path, n_top=25):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as fh:
+        xs.ParseFromString(fh.read())
+    planes = [p for p in xs.planes if p.name.startswith("/device:TPU")]
+    if not planes:
+        print("no TPU device plane in trace", file=sys.stderr)
+        return
+    p = planes[0]
+    sm = p.stat_metadata
+    by_cat = collections.Counter()
+    by_src = collections.Counter()
+    by_op = collections.Counter()
+    op_cnt = collections.Counter()
+    op_flops = collections.Counter()
+    op_stack = {}
+    module_total = 0
+    for line in p.lines:
+        if line.name == "XLA Modules":
+            module_total += sum(ev.duration_ps for ev in line.events)
+        if line.name != "XLA Ops":
+            continue
+        for ev in line.events:
+            meta = p.event_metadata[ev.metadata_id]
+            stats = {}
+            for st in list(ev.stats) + list(meta.stats):
+                stats[sm[st.metadata_id].name] = _stat_value(st, sm)
+            cat = str(stats.get("hlo_category", "?"))
+            if cat in _NON_LEAF:
+                continue
+            dur = ev.duration_ps
+            by_cat[cat] += dur
+            src = str(stats.get("source", ""))
+            by_src[src] += dur
+            name = meta.display_name or meta.name
+            key = (cat, name.split(".")[0], src)
+            by_op[key] += dur
+            op_cnt[key] += 1
+            op_flops[key] += float(stats.get("flops", 0) or 0)
+            if cat == "custom-call" and key not in op_stack:
+                # the op stack names the originating jax primitive
+                # (eigh / cholesky / lu / qr) that `source` lacks
+                op_stack[key] = str(stats.get("tf_op", ""))[:120]
+
+    total = sum(by_cat.values())
+    print(f"leaf device total {total / 1e9:.0f} ms   "
+          f"(module-line total {module_total / 1e9:.0f} ms)")
+    print("== by HLO category ==")
+    for cat, dur in by_cat.most_common(n_top):
+        print(f"  {dur / 1e9:9.1f} ms {100 * dur / total:5.1f}%  {cat}")
+    print("== by source line ==")
+    for src, dur in by_src.most_common(n_top):
+        print(f"  {dur / 1e9:9.1f} ms {100 * dur / total:5.1f}%  "
+              f"{src[:100] or '(unattributed: linalg custom calls etc.)'}")
+    print("== top (category, op, source) ==")
+    for key, dur in by_op.most_common(n_top):
+        tf_s = op_flops[key] / (dur / 1e12) / 1e12 if dur else 0.0
+        stack = op_stack.get(key, "")
+        print(f"  {dur / 1e9:9.1f} ms x{op_cnt[key]:6d} {tf_s:7.2f}TF/s "
+              f"[{key[0]}] {key[1][:30]:30s} {key[2][:70]} {stack}")
+
 
 def main():
-    n_top = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    n_top = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+    if len(sys.argv) > 2 and sys.argv[2] == "--parse-only":
+        xplanes = glob.glob(os.path.join(TRACE_DIR, "**", "*.xplane.pb"),
+                            recursive=True)
+        summarize_xplane(max(xplanes, key=os.path.getmtime), n_top)
+        return
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), "..",
@@ -61,25 +158,7 @@ def main():
     if not xplanes:
         print("no xplane captured", file=sys.stderr)
         return
-    xplane = max(xplanes, key=os.path.getmtime)
-    import json
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    params = {"tqx": "out:json;"}
-    try:
-        data, _ = rtd.xspace_to_tool_data([xplane], "hlo_op_stats", params)
-    except Exception:
-        data, _ = rtd.xspace_to_tool_data([xplane], "op_profile", params)
-    try:
-        js = json.loads(data)
-    except Exception:
-        # gviz json or other container: dump raw head for inspection
-        print(str(data)[:4000])
-        return
-    print(json.dumps(js)[:200])
-    # gviz DataTable: rows of [category, name, ..., self_time]
-    if isinstance(js, dict) and "rows" in js.get("table", {}):
-        rows = js["table"]["rows"]
-        print(f"{len(rows)} rows")
+    summarize_xplane(max(xplanes, key=os.path.getmtime), n_top)
 
 
 if __name__ == "__main__":

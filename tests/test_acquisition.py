@@ -32,6 +32,7 @@ def test_lambertw_identity():
                                rtol=1e-12)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not os.path.isdir(REF_PATH),
                     reason="reference checkout not available")
 def test_nd_utility_parity():

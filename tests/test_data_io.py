@@ -120,6 +120,7 @@ def test_plotting_smoke(tmp_path):
     fig3.savefig(str(tmp_path / "rf.png"))
 
 
+@pytest.mark.slow
 def test_metrics_logger(tmp_path):
     import json
     from gaussian_processes_tpu.utils.metrics import (
@@ -157,6 +158,7 @@ def test_phase_timer():
     assert "a" in pt.summary()
 
 
+@pytest.mark.slow
 def test_orbax_roundtrip(tmp_path):
     from gaussian_processes_tpu.utils.io import (save_model_orbax,
                                                  load_model_orbax)

@@ -565,6 +565,7 @@ def test_static_schedule_matches_dynamic():
                                np.asarray(res_d.m_b), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_tpu_fast_preset_converges():
     """FitConfig.tpu_fast() — the packaged production preset — must fit
     the synthetic problem to the same neighborhood as the default config

@@ -284,6 +284,7 @@ def test_projected_gram_windowed_corner(rng):
                                atol=3e-6 * scale)
 
 
+@pytest.mark.slow
 def test_projected_gram_value_and_grad_finite(rng):
     """The projected path (including the cond fallback) is differentiable
     wrt theta."""

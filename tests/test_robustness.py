@@ -106,6 +106,7 @@ def test_unsorted_xtilde_indices_stable():
                                rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_duplicated_xtilde_rows_stable():
     """Duplicated inducing rows make K_tilde exactly singular; the
     eigenvalue truncation must absorb the collapsed directions (the
@@ -143,6 +144,7 @@ def test_weak_rf_cell_no_nan_r2():
     assert np.isfinite(float(r2)) and np.isfinite(float(s2))
 
 
+@pytest.mark.slow
 def test_rf_at_border_bounds_enforced():
     """ToDo.md:29 — an RF drifting to the image border destabilized the
     reference M-step until the inf-loss-at-bounds trick.  Starting eps at
