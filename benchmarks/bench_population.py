@@ -53,7 +53,9 @@ def main():
     X = rng.standard_normal((NT, N_PX * N_PX)).astype(np.float32)
     lin = np.linspace(-1, 1, N_PX)
     yy, xx = np.meshgrid(lin, lin, indexing="ij")
-    ncells_max = max(NCELLS_TRY)
+    # enough cells for both the vmapped lanes and the sequential loop
+    # (GPTPU_POP_SEQ=41 measures the lab's actual 41-cell workload)
+    ncells_max = max(max(NCELLS_TRY), NSEQ)
     R = np.zeros((ncells_max, NT), np.float32)
     for c in range(ncells_max):
         cx, cy = rng.uniform(-0.3, 0.3, 2)
