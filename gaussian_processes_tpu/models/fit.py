@@ -1111,14 +1111,36 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
             return (fi0 >= i0v and fj0 >= j0v
                     and fi0 + fw <= i0v + w0 and fj0 + fw <= j0v + w0)
 
-        def warn_window(it):
+        def rerun_grown_window(it):
+            """A dispatched crop window failed to cover the resulting
+            theta's margin-1.0 alpha mask: that iteration's kernels were
+            inexact.  NEVER return a silently-inexact fit (the same
+            contract as the whole-fit and static-schedule paths, which
+            re-run on their post-hoc checks): re-run the whole fit with
+            the margin doubled — a fast-drifting RF needs more slack for
+            the lag-1 schedule — falling back to the full frame
+            (crop_window=False, exact by construction) once the margin is
+            implausibly large.  Recursion terminates: the margin doubles
+            at most ~3 times before the full-frame fallback."""
             import warnings as _warnings
+            if cfg.crop_margin * 2.0 <= 8.0:
+                grown = dataclasses.replace(
+                    cfg, crop_margin=cfg.crop_margin * 2.0)
+                how = f"crop_margin {cfg.crop_margin} -> {grown.crop_margin}"
+            else:
+                grown = dataclasses.replace(cfg, crop_window=False)
+                how = "crop_window=False (full frame)"
             _warnings.warn(
                 f"crop window used at EM iteration {it} no longer covers "
                 "the RF alpha mask of the iteration's resulting theta "
-                "(fast-drifting RF outran the lag-1 window schedule); that "
-                "iteration's kernels were inexact.  Increase crop_margin "
-                "or disable crop_window for this cell.")
+                "(fast-drifting RF outran the lag-1 window schedule); "
+                f"re-running the fit with {how}.")
+            return fit(x, r, grown, xtilde=xtilde, theta=theta,
+                       f_params=f_params, m=m, V=V,
+                       sample_weight=sample_weight,
+                       inducing_weight=inducing_weight,
+                       init_kernel=init_kernel, mesh=mesh, seed=seed,
+                       profile=profile)
 
         if cfg.static_schedule:
             # No in-loop probes: every iteration is dispatched back-to-back
@@ -1149,10 +1171,22 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
             rank_now = carry.m_b.shape[0]
             saturated = (reduced and rank_now < ntilde
                          and int(jnp.max(carry.track.n_eigen)) >= rank_now)
-            fin = tuple(float(v)
-                        for v in jax.device_get(_sync_probe_jit(carry))[:3])
-            if saturated or (cfg.crop_window
-                             and not window_covers(wargs0, *fin)):
+            # Post-hoc exactness: validate the fixed window against EVERY
+            # tracked iteration's theta, not just the final one — theta can
+            # drift outside the window mid-fit and return (the dynamic path
+            # checks each dispatched iteration; this is its batched analog).
+            # One host transfer: the three tracked window-scalar arrays.
+            covered = True
+            if (cfg.crop_window and wargs0.get("win_w") is not None
+                    and not bool(carry.failed)):
+                tt = carry.track.theta
+                lbs, exs, eys = jax.device_get(
+                    (tt["-2log2beta"], tt["eps_0x"], tt["eps_0y"]))
+                covered = all(
+                    window_covers(wargs0, float(lbs[i]), float(exs[i]),
+                                  float(eys[i]))
+                    for i in range(cfg.maxiter))
+            if saturated or not covered:
                 import warnings as _warnings
                 _warnings.warn(
                     "static_schedule run was inexact (rank budget "
@@ -1194,7 +1228,7 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
             wargs = window_args_from(*probed)
             if cfg.crop_window and i - 2 in wargs_used:
                 if not window_covers(wargs_used.pop(i - 2), *probed):
-                    warn_window(i - 2)
+                    return rerun_grown_window(i - 2)
             if reduced:
                 # Budget from the MAX kept-rank of the last few syncs: the
                 # warm subspace solver's tail eigenvalues are biased low, so
@@ -1246,7 +1280,7 @@ def fit(x: jnp.ndarray, r: jnp.ndarray, cfg: Optional[FitConfig] = None,
                         for v in jax.device_get(_sync_probe_jit(carry))[:3])
             for it, wu in sorted(wargs_used.items()):
                 if not window_covers(wu, *fin):
-                    warn_window(it)
+                    return rerun_grown_window(it)
         if profile:
             jax.block_until_ready(carry.m_b)
             timing["total"] = _time.perf_counter() - t0
