@@ -222,8 +222,14 @@ class FitConfig:
     # semantics per step, but theta's 6-dim curvature memory persists so
     # the unit step is well-scaled from step 1 of every M-step instead of
     # being re-learned (~2.7 value+grad Gram rebuilds per step measured
-    # for cold zoom at bench shapes).  Requires mstep_memory=True to take
-    # effect; f-param updates still run plain zoom.
+    # for cold zoom at bench shapes).  MEASURED NEGATIVE at the headline
+    # config (round 3, COVERAGE.md): 16.10 s vs plain zoom's 12.11 s —
+    # the carried directions overshoot on the per-iteration objective
+    # (the E-step moved m/V and the eigenspace reprojected), costing more
+    # zoom trials than the cold restart's re-learning they save.  Kept
+    # for workloads with static E-state; prefer "zoom".  Requires
+    # mstep_memory=True to take effect; f-param updates still run plain
+    # zoom.
     linesearch: str = "zoom"
     # Inner SPD solver of the E-step Newton update.  "schulz" warm-starts
     # each Newton step's (I + S G S)^-1 from the previous step's inverse via
@@ -310,7 +316,10 @@ class FitConfig:
     # move theta very little, so this is where the M-step's ~84% share of
     # the iteration budget goes).  0.0 (default) disables the gate and keeps
     # the traced program identical to the plain scan.  Applies to the
-    # "zoom" and "zoom_carry" line searches.
+    # "zoom" and "zoom_carry" line searches.  PER-CELL optimization: under
+    # vmap (population fits) the lax.cond lowers to a select that executes
+    # both branches per lane — fit_population zeroes these gates
+    # automatically (max_linesearch_steps is the knob that helps there).
     mstep_gtol: float = 0.0
     mstep_ftol: float = 0.0
     # E-step early termination (relative inf-norm move of the posterior

@@ -198,9 +198,21 @@ def _drive_lbfgs(opt, fun, x0, num_steps, state0=None, return_state=False,
             # step 0 never triggers, and a frozen step resets the window.
             conv = conv | (jnp.abs(value - f_prev) < ftol)
         done = done | (conv & ~was_frozen)
-        x_new, state, bad = jax.lax.cond(
-            done, lambda x, s: (x, s, jnp.asarray(False)), do_update,
-            x, state)
+
+        def skip_update(x, state):
+            # Identity branch — but write the (possibly just recomputed)
+            # finite value/grad back into the state: if the gate latches
+            # while the stored value is +inf (gtol firing at step 0, or a
+            # zoom_carry entry whose value is deliberately poisoned),
+            # value_and_grad_from_state would otherwise re-evaluate the
+            # full objective on EVERY remaining step and in the final
+            # fold, defeating the 'converged steps cost zero evaluations'
+            # guarantee exactly in the converged-at-entry case.
+            state = optax.tree_utils.tree_set(state, value=value, grad=grad)
+            return x, state, jnp.asarray(False)
+
+        x_new, state, bad = jax.lax.cond(done, skip_update, do_update,
+                                         x, state)
         f_prev = jnp.where(was_frozen, jnp.inf, value)
         return (x_new, state, x_best, f_best, bad, done, f_prev), value
 

@@ -43,6 +43,15 @@ def population_em_program(cfg: FitConfig, shared: bool, bounds_static,
         # exact-Gram lax.cond would batch the full-contraction rebuild for
         # every lane — poison the trial instead (line search backtracks)
         cfg = dataclasses.replace(cfg, mstep_proj_fallback="poison")
+    if cfg.mstep_ftol or cfg.mstep_gtol or cfg.estep_tol:
+        # The early-termination gates are PER-CELL (single-lane)
+        # optimizations: their lax.cond identity branches lower to selects
+        # under vmap, so both branches execute for every lane — the gates
+        # add predicate+select overhead and skip nothing.  Zero them here;
+        # the trial-budget knob (max_linesearch_steps) is the lever that
+        # does help vmapped fits and passes through untouched.
+        cfg = dataclasses.replace(cfg, mstep_ftol=0.0, mstep_gtol=0.0,
+                                  estep_tol=0.0)
     if win_w is None:
         prog = partial(_fit_program, has_V=False, shared=shared, cfg=cfg,
                        bounds_static=bounds_static, wt=None, wi=None)
