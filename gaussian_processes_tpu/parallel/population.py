@@ -52,6 +52,17 @@ def population_em_program(cfg: FitConfig, shared: bool, bounds_static,
         # does help vmapped fits and passes through untouched.
         cfg = dataclasses.replace(cfg, mstep_ftol=0.0, mstep_gtol=0.0,
                                   estep_tol=0.0)
+    if cfg.estep_solver == "schulz":
+        # the warm-inverse path is a lax.cond(warm Schulz, exact Cholesky):
+        # under vmap both branches execute per lane per Newton step — every
+        # lane pays 12 Schulz matmul pairs ON TOP of the exact solve it
+        # falls back to.  Exact-only is strictly cheaper here.
+        cfg = dataclasses.replace(cfg, estep_solver="chol")
+    if cfg.mstep_logdet == "series":
+        # same shape: the warm trace-series logdet guards with an in-graph
+        # Cholesky fallback cond, so vmapped lanes pay series + Cholesky
+        # per line-search trial; branchless Cholesky alone is cheaper.
+        cfg = dataclasses.replace(cfg, mstep_logdet="chol")
     if win_w is None:
         prog = partial(_fit_program, has_V=False, shared=shared, cfg=cfg,
                        bounds_static=bounds_static, wt=None, wi=None)
@@ -77,7 +88,7 @@ def fit_population(x: jnp.ndarray, rs: jnp.ndarray,
                    xtilde: Optional[jnp.ndarray] = None,
                    thetas: Optional[Dict[str, jnp.ndarray]] = None,
                    f_params: Optional[Dict[str, jnp.ndarray]] = None,
-                   mesh=None, seed: int = 0):
+                   mesh=None, seed: int = 0, lower_only: bool = False):
     """Fit every cell in ``rs`` (ncells, nt) against stimuli ``x`` (nt, nx).
 
     ``thetas``/``f_params`` may carry a leading cell axis or be scalar (then
@@ -180,9 +191,15 @@ def fit_population(x: jnp.ndarray, rs: jnp.ndarray,
                         cell_sh, repl)
         if win_w is not None:
             in_shardings = in_shardings + (cell_sh, cell_sh)
-        fitted = jax.jit(vprog, in_shardings=in_shardings)(*args)
+        jitted = jax.jit(vprog, in_shardings=in_shardings)
     else:
-        fitted = jax.jit(vprog)(*args)
+        jitted = jax.jit(vprog)
+    if lower_only:
+        # AOT hook: (jitted_fn, args) so callers can .lower(*args).compile()
+        # for per-device cost analysis / HLO inspection without executing
+        # (benchmarks/bench_multichip_scaling.py)
+        return (jitted, args), (lower, upper)
+    fitted = jitted(*args)
     return fitted, (lower, upper)
 
 

@@ -132,3 +132,49 @@ def test_ab_experiment():
     a0 = set(out["active"][0].in_use_idx[:8])
     r0 = set(out["random"][0].in_use_idx[:8])
     assert a0 == r0
+
+
+@pytest.mark.slow
+def test_pipelined_loop_matches_host_loop():
+    """active_loop_pipelined keeps selection, buffer growth, and the
+    warm-start update ON DEVICE; it must reproduce the host loop's
+    selections and final model (same scorer, same growth semantics —
+    the only change is where the argmax happens)."""
+    from gaussian_processes_tpu.models.active import active_loop_pipelined
+    import dataclasses
+    X, R, _, _ = make_pool(npool=60)
+    cfg = FitConfig(maxiter=3, n_estep=3, n_mstep=2, n_fparamstep=3,
+                    n_px_side=N, track_variational=False,
+                    crop_window=False)
+    kw = dict(start_idx=np.arange(12), n_add=4, cfg=cfg,
+              theta={k: jnp.float64(v) for k, v in THETA0.items()},
+              f_params={k: jnp.float64(v) for k, v in FP0.items()},
+              seed=0)
+    host = active_loop(X, R, **kw)
+    pipe = active_loop_pipelined(X, R, **kw)
+    assert pipe.selected_idx == host.selected_idx
+    for k in host.final_fit.theta:
+        np.testing.assert_allclose(float(pipe.final_fit.theta[k]),
+                                   float(host.final_fit.theta[k]),
+                                   rtol=1e-6, err_msg=k)
+    np.testing.assert_allclose(np.asarray(pipe.utilities),
+                               np.asarray(host.utilities), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_pipelined_loop_random_arm():
+    from gaussian_processes_tpu.models.active import active_loop_pipelined
+    X, R, _, _ = make_pool(npool=50)
+    cfg = FitConfig(maxiter=2, n_estep=2, n_mstep=0, n_fparamstep=3,
+                    n_px_side=N, track_variational=False)
+    out = active_loop_pipelined(X, R, start_idx=np.arange(10), n_add=3,
+                                cfg=cfg,
+                                theta={k: jnp.float64(v)
+                                       for k, v in THETA0.items()},
+                                f_params={k: jnp.float64(v)
+                                          for k, v in FP0.items()},
+                                select="random", seed=1)
+    assert len(out.selected_idx) == 3
+    assert len(set(out.selected_idx)) == 3
+    assert not any(i < 10 for i in out.selected_idx)
+    assert not out.final_fit.failed
