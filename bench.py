@@ -1,4 +1,5 @@
-"""Headline benchmark: single-cell spatial-GP fit wall-clock on TPU.
+"""Headline benchmark: single-cell spatial-GP fit wall-clock on TPU,
+with REAL quality gates and driver-visible secondary metrics (round 4).
 
 Reference baseline (BASELINE.md): the stored one_cell_fit.ipynb:cell8 run —
 maxiter=30, nEstep=10, nMstep=10, 3,160 training images of 108x108 pixels,
@@ -10,20 +11,36 @@ compiled fit (compile excluded; it is amortized across cells/sessions in
 practice).
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": ..., "unit": "s", "vs_baseline": speedup}
+  {"metric": ..., "value": ..., "unit": "s", "vs_baseline": speedup,
+   "quality": {...}, "secondary": {...}}
 
-Robustness: compiles through the dev tunnel cost minutes per program and a
-cold .jax_cache once consumed an entire driver budget (round 2: rc=124, no
-output).  A watchdog thread therefore ALWAYS emits the JSON line before
-GPTPU_BENCH_BUDGET seconds elapse (default 1500): with whatever measurement
-exists at that point (the warm-up run's wall-clock as a provisional value,
-marked "provisional": true), or value=inf if not even the warm-up finished.
-The watchdog runs in a separate thread so it fires even while the main
-thread is blocked inside a native compile call.
+**Quality gates that can fail** (round-3 VERDICT items 1-3): ``ok`` (and
+hence a nonzero vs_baseline) now requires
+  * the timed run's final training loss within GOLDEN["easy_loss_budget"]
+    of the measured UNGATED golden loss at this exact config (the
+    convergence gates must not buy speed with unconverged fits), and
+  * a fit on the HARD validation regime (model-mismatched, low-SNR
+    synthetic retina — data.synthetic_retina_hard) reaching
+    r2 >= GOLDEN["hard_r2_min"].  The easy planted-RF r2 saturates at ~1.0
+    and cannot rank fits; the hard regime sits at r2 ~= 0.6 like the
+    reference's real cells (0.57-0.72, one_cell_fit.ipynb:cell8/15), where
+    a regressed preset measurably drops (measured: mstep_ftol=1.0 ->
+    r2 0.60 -> 0.44; see COVERAGE.md round-4 gate table).
+
+**Secondary metrics** (round-3 VERDICT item 2): the population s/cell,
+active-refit s, acquisition ms, pipelined-acquisition ms, and >=50k
+TFLOP/s benches run as subprocesses (each with its own timeout; failures
+recorded, never fatal) and land machine-parsed under "secondary".
+Disable with GPTPU_BENCH_SECONDARY=0.
+
+Robustness: a watchdog thread ALWAYS emits the JSON line before
+GPTPU_BENCH_BUDGET seconds elapse (default 1500) with whatever has been
+measured by then.
 """
 
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
@@ -47,10 +64,28 @@ N_ESTEP = 10
 N_MSTEP = 10
 N_FPARAMSTEP = 10
 
-# Shared mutable record the watchdog reads.  "elapsed" is the timed run,
-# "warm_elapsed" the warm-up (compile-inclusive) run.
+# Golden values measured round 4 (see COVERAGE.md "Round-4 gate
+# requalification" for the full ladder and protocol).  The easy golden is
+# the UNGATED (mstep_ftol=0, estep_tol=0, max_ls=15) final loss at the
+# bench config/seed; the hard floor is the exact-semantics hard-regime r2
+# minus 3 bootstrap sigmas.
+GOLDEN = {
+    # ungated final training loss, easy bench data (seed 0): measured
+    # 1594.4 (round 3) / re-measured round 4 — see COVERAGE.md
+    "easy_ungated_loss": 1594.4,
+    # the timed (gated) run may converge this much higher; the requalified
+    # preset measures within ~6 of the golden (f32 line-search noise is
+    # ~1); 25 = ~1.6% of the converged objective, far below the 80-point
+    # gap the old absolute gate left
+    "easy_loss_budget": 25.0,
+    # exact-semantics hard-regime fit: r2 = 0.603 +/- 0.009 (seed 0);
+    # floor at -4 sigma.  The regressed absolute-ftol preset measured
+    # 0.444 — far below this floor.
+    "hard_r2_min": 0.565,
+}
+
 _state = {"elapsed": None, "warm_elapsed": None, "ok": False, "done": False,
-          "phase": "startup"}
+          "phase": "startup", "quality": {}, "secondary": {}}
 _emit_lock = threading.Lock()
 _emitted = False
 
@@ -72,6 +107,10 @@ def _emit(value, ok, provisional=False, extra=None):
         }
         if provisional:
             rec["provisional"] = True
+        if _state["quality"]:
+            rec["quality"] = _state["quality"]
+        if _state["secondary"]:
+            rec["secondary"] = _state["secondary"]
         if extra:
             rec.update(extra)
         print(json.dumps(rec), flush=True)
@@ -90,8 +129,6 @@ def _watchdog(budget_s: float):
     if _state["elapsed"] is not None:
         _emit(_state["elapsed"], _state["ok"])
     elif _state["warm_elapsed"] is not None:
-        # the warm-up run IS a complete fit (compile included): a valid
-        # upper bound on the wall-clock
         _emit(_state["warm_elapsed"], True, provisional=True,
               extra={"note": "warm-up (compile-inclusive) time; timed run "
                              "did not finish within GPTPU_BENCH_BUDGET"})
@@ -114,16 +151,15 @@ def make_config(FitConfig, maxiter=None):
     maxiter-unrolled HLO (the tunnel'd remote compiler rejects the giant
     single program; numerics are identical — see test_fit_modes).  Pins =
     the measured steady-state schedule of this exact workload (w=80 all 30
-    iterations; kept rank peaks at 283, bucket 320): the fit compiles
-    exactly one iteration variant per (linesearch, do_mstep) instead of
-    flapping at a bucket boundary (~10 min/extra compile).  The resolved
-    defaults are the measured round-3 optimum — static dispatch schedule,
-    mstep_ftol=1.0 / estep_tol=1e-3 convergence gates, zoom trial budget
-    4, rank 320, CholQR refresh at 4 power steps: 4.06 s (21.0x) vs the
-    reference's 85.2 s with held-out r2 within 0.003 of the ungated fit
-    (every step measured individually; budget 3 is too tight — the theta
-    path drifts, the exactness fallback fires and re-runs dynamically at
-    8.0 s; see COVERAGE.md)."""
+    iterations; kept rank peaks at 283, bucket 320).
+
+    Convergence gates (round 4 REQUALIFIED on the hard validation regime —
+    COVERAGE.md gate table): the round-3 absolute gate mstep_ftol=1.0 was
+    tuned at the easy regime's saturated r2 and measured r2 0.603 -> 0.444
+    on the hard regime; the shipped preset is now the RELATIVE gate
+    mstep_ftol_rel (objective-change < rel * |f|), which transfers across
+    loss scales, plus estep_tol=1e-3 (already relative) and the zoom trial
+    budget."""
     pin_rank = int(os.environ.get("GPTPU_BENCH_PIN_RANK", "320")) or None
     pin_w = int(os.environ.get("GPTPU_BENCH_PIN_W", "80")) or None
     return FitConfig(
@@ -136,12 +172,6 @@ def make_config(FitConfig, maxiter=None):
         n_fparamstep=int(os.environ.get("GPTPU_BENCH_N_FPARAMSTEP",
                                         N_FPARAMSTEP)),
         n_px_side=N_PX, track_variational=False,
-        # whole-fit arm: ONE compiled program for the entire EM loop (no
-        # per-iteration dispatch or schedule probes).  Its crop window is
-        # fixed from the initial theta at crop_margin*1.5 and verified
-        # post hoc (auto-fallback to the tracking-window path when the RF
-        # outgrows it), so a tuned margin keeps the measured w=80 window
-        # without giving up exactness.
         jit_whole_fit=bool(int(os.environ.get("GPTPU_BENCH_WHOLE_FIT",
                                               "0"))),
         whole_fit_rank=(int(os.environ.get("GPTPU_BENCH_PIN_RANK", "320"))
@@ -149,26 +179,13 @@ def make_config(FitConfig, maxiter=None):
                         else None),
         crop_margin=float(os.environ.get("GPTPU_BENCH_CROP_MARGIN", "1.25")),
         # zoom, measured 14.66 s vs speculative's 19.8 s at the headline
-        # config AND converging further (r2 1.027 vs 0.873): the
-        # strong-Wolfe curvature condition buys better steps than its
-        # extra ~1.7 evals/step cost.  zoom_carry (cross-EM-iteration
-        # curvature memory) measured 16.10 s — see COVERAGE.md.
+        # config AND converging further (r2 1.027 vs 0.873); zoom_carry
+        # measured 16.10 s — see COVERAGE.md round 3.
         linesearch=os.environ.get("GPTPU_BENCH_LINESEARCH", "zoom"),
         estep_solver=os.environ.get("GPTPU_BENCH_ESTEP_SOLVER", "schulz"),
         mstep_inverse=os.environ.get("GPTPU_BENCH_MSTEP_INV", "schulz"),
-        # exact M-step Gram: the spectrally projected mode
-        # (gram_matrices_projected, 3.34x fewer flops on paper) measured
-        # SLOWER end to end at this config — 17.38 s vs exact's 13.99 s
-        # (A/B, round 3; see COVERAGE.md) — the per-eval residual
-        # certificate and projection overhead eat the contraction win at
-        # w=80
         mstep_gram=os.environ.get("GPTPU_BENCH_MSTEP_GRAM", "exact"),
         mstep_proj_rank=int(os.environ.get("GPTPU_BENCH_PROJ_RANK", "40")),
-        # subspace init: the full-eigh init program compiles to a ~120 MB
-        # TPU executable (~10 min through the tunnel) and any hot-path
-        # edit invalidates it; subspace iteration at the pinned rank
-        # lowers to ~9 MB of matmuls+CholQR with the same steady-state
-        # wall-clock (A/B, round 3)
         eigh_impl=os.environ.get("GPTPU_BENCH_EIGH_IMPL", "subspace"),
         init_rank=(int(os.environ["GPTPU_BENCH_INIT_RANK"])
                    if os.environ.get("GPTPU_BENCH_INIT_RANK")
@@ -183,22 +200,21 @@ def make_config(FitConfig, maxiter=None):
                                                 "2")),
         eigh_refresh_every=int(os.environ.get("GPTPU_BENCH_REFRESH_EVERY",
                                               "8")),
-        # M-step early termination (the torch tolerance_change analog,
-        # utils.py:2012; 0 = run all n_mstep steps).  Late EM iterations
-        # barely move theta, so converged L-BFGS steps skip their Gram
-        # rebuilds entirely via a lax.cond identity branch.  ftol=1.0 is
-        # ~6e-4 of the final loss (~2e-4 of the initial): measured
-        # 12.11 s -> 6.34 s at held-out r2 1.026 vs 1.028 (A/B sweep
-        # 0.3/1.0/3.0, round 3; see COVERAGE.md).
-        mstep_ftol=float(os.environ.get("GPTPU_BENCH_MSTEP_FTOL", "1.0")),
+        # M-step early termination: the RELATIVE objective-change gate
+        # (requalified on the hard regime, round 4 — the absolute
+        # mstep_ftol=1.0 is kept available but OFF by default after
+        # measuring its hard-regime quality cost)
+        mstep_ftol=float(os.environ.get("GPTPU_BENCH_MSTEP_FTOL", "0")),
+        mstep_ftol_rel=float(os.environ.get("GPTPU_BENCH_MSTEP_FTOL_REL",
+                                            "1e-4")),
         mstep_gtol=float(os.environ.get("GPTPU_BENCH_MSTEP_GTOL", "0")),
         max_linesearch_steps=int(os.environ.get("GPTPU_BENCH_MAX_LS", "4")),
         # E-step Newton early exit on a stalled posterior mean (relative
         # inf-norm move; 0 = off, all n_estep steps)
         estep_tol=float(os.environ.get("GPTPU_BENCH_ESTEP_TOL", "1e-3")),
         # dispatch every iteration back-to-back (no in-loop schedule
-        # probes); exactness checked post hoc with a dynamic-schedule
-        # re-run fallback — see config.static_schedule
+        # probes); exactness checked post hoc over EVERY tracked
+        # iteration's theta, with a dynamic-schedule re-run fallback
         static_schedule=bool(int(os.environ.get("GPTPU_BENCH_STATIC_SCHED",
                                                 "1"))))
 
@@ -215,8 +231,85 @@ def make_data(seed=0):
     return X, R
 
 
+def _run_hard_quality_gate(jax, jnp, cfg_mod, fit, evaluate):
+    """Fit ONE hard-regime cell with the shipped preset (dynamic schedule:
+    the pins are tuned to the easy workload) and return (r2, sigma,
+    final_loss)."""
+    import dataclasses
+    from gaussian_processes_tpu.data import synthetic_retina_hard
+    from gaussian_processes_tpu.params import (default_f_params,
+                                               generate_theta, get_sta)
+
+    ds = synthetic_retina_hard(n_cells=1, seed=0)
+    X, R = ds.full_train()
+    Xd = jnp.asarray(X.astype(np.float32))
+    Rd = jnp.asarray(R[:, 0].astype(np.float32))
+    Xte = jnp.asarray(ds.images_test.reshape(30, -1).astype(np.float32))
+    Rte = jnp.asarray(ds.responses_test[:, :, 0].astype(np.float32))
+
+    cfg = dataclasses.replace(make_config(cfg_mod), static_schedule=False)
+    key = jax.random.PRNGKey(0)
+    idx = jax.random.permutation(key, X.shape[0])[:cfg.ntilde]
+    xtilde = Xd[idx]
+    sta, _, (row, col) = get_sta(Xd, Rd, cfg.n_px_side)
+    lin = np.linspace(-1, 1, cfg.n_px_side)
+    theta, _, _ = generate_theta(
+        Xd, Rd, cfg.n_px_side,
+        eps_0x=float(lin[int(col)]), eps_0y=float(lin[int(row)]))
+    res = fit(Xd, Rd, cfg, xtilde=xtilde, theta=theta,
+              f_params=default_f_params())
+    _, _, r2, s2 = evaluate(res, Xte, Rte, nbootstrap=200)
+    loss = np.asarray(res.track.logmarginal)
+    return float(r2), float(s2), float(-loss[-1]), bool(res.failed)
+
+
+SECONDARY = {
+    # script, timeout (s), env overrides
+    "population": ("benchmarks/bench_population.py", 600,
+                   {"GPTPU_POP_CELLS": "8", "GPTPU_POP_SEQ": "2"}),
+    "active_refit": ("benchmarks/bench_active_refit.py", 420,
+                     {"GPTPU_REFIT_MSTEP_FTOL": "0.3",
+                      "GPTPU_REFIT_ESTEP_TOL": "1e-3"}),
+    "acquisition": ("benchmarks/bench_acquisition.py", 300, {}),
+    "acquisition_pipelined": ("benchmarks/bench_active_pipelined.py", 600,
+                              {"GPTPU_PIPE_NADD": "16"}),
+    "large_ntilde": ("benchmarks/bench_large_ntilde.py", 420, {}),
+}
+
+
+def _run_secondary(deadline):
+    here = os.path.dirname(os.path.abspath(__file__)) or "."
+    for name, (script, tmo, env_extra) in SECONDARY.items():
+        remaining = deadline - time.monotonic()
+        if remaining < tmo * 0.5 + 30:
+            _state["secondary"][name] = {"skipped": "budget exhausted"}
+            continue
+        env = dict(os.environ)
+        env.update(env_extra)
+        _state["phase"] = f"secondary:{name}"
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(here, script)],
+                capture_output=True, text=True, env=env, cwd=here,
+                timeout=min(tmo, max(60, remaining - 30)))
+            rec = None
+            for line in reversed(out.stdout.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    rec = json.loads(line)
+                    break
+            _state["secondary"][name] = (
+                rec if rec is not None
+                else {"error": (out.stderr or "no JSON output")[-300:]})
+        except subprocess.TimeoutExpired:
+            _state["secondary"][name] = {"error": f"timeout after {tmo}s"}
+        except Exception as e:
+            _state["secondary"][name] = {"error": str(e)[:300]}
+
+
 def main():
     budget = float(os.environ.get("GPTPU_BENCH_BUDGET", "1500"))
+    deadline = time.monotonic() + budget
     threading.Thread(target=_watchdog, args=(budget,), daemon=True).start()
 
     import jax
@@ -232,6 +325,7 @@ def main():
     import jax.numpy as jnp
     from gaussian_processes_tpu.config import FitConfig
     from gaussian_processes_tpu.models.fit import fit
+    from gaussian_processes_tpu.models.inference import evaluate
 
     X, R = make_data()
     X = jnp.asarray(X)
@@ -267,13 +361,18 @@ def main():
     _state["elapsed"] = elapsed
 
     loss = np.asarray(res.track.logmarginal)
-    ok = bool(np.all(np.isfinite(loss))) and not res.failed
-    _state["ok"] = ok
-    _state["done"] = True
+    ok_run = bool(np.all(np.isfinite(loss))) and not res.failed
+    final_loss = float(-loss[-1])
 
-    # quality check on held-out repeated responses from the same planted RF
+    # ---- quality gate 1: gated-vs-golden loss on the easy bench data ----
+    loss_gap = final_loss - GOLDEN["easy_ungated_loss"]
+    ok_easy = ok_run and (loss_gap <= GOLDEN["easy_loss_budget"])
+    _state["quality"]["easy_final_loss"] = round(final_loss, 1)
+    _state["quality"]["easy_loss_gap_vs_ungated_golden"] = round(loss_gap, 1)
+    _state["quality"]["easy_loss_budget"] = GOLDEN["easy_loss_budget"]
+
+    # easy held-out r2 (informational: saturates at ~1.0 by construction)
     try:
-        from gaussian_processes_tpu.models.inference import evaluate
         rng = np.random.default_rng(1)
         lin = np.linspace(-1, 1, N_PX)
         yy, xx = np.meshgrid(lin, lin, indexing="ij")
@@ -284,13 +383,44 @@ def main():
         Rt = rng.poisson(lam_t[None, :].repeat(30, 0)).astype(np.float32)
         _, _, r2, s2 = evaluate(res, jnp.asarray(Xt), jnp.asarray(Rt),
                                 nbootstrap=200)
-        print(f"[bench] loss {-loss[0]:.1f} -> {-loss[-1]:.1f}; "
-              f"held-out r2 = {float(r2):.3f} +/- {float(s2):.3f}; "
-              f"warm-up {_state['warm_elapsed']:.1f} s",
-              file=sys.stderr)
+        _state["quality"]["easy_r2_saturated"] = round(float(r2), 3)
     except Exception as e:
-        print(f"[bench] quality check failed: {e}", file=sys.stderr)
-    value = elapsed if ok else float("inf")
+        print(f"[bench] easy r2 check failed: {e}", file=sys.stderr)
+
+    # ---- quality gate 2: hard-regime r2 with the same preset ----
+    ok_hard = True
+    if int(os.environ.get("GPTPU_BENCH_HARD_GATE", "1")):
+        _state["phase"] = "hard_gate"
+        try:
+            r2h, s2h, loss_h, failed_h = _run_hard_quality_gate(
+                jax, jnp, FitConfig, fit, evaluate)
+            ok_hard = (not failed_h) and (r2h >= GOLDEN["hard_r2_min"])
+            _state["quality"]["hard_r2"] = round(r2h, 4)
+            _state["quality"]["hard_r2_sigma"] = round(s2h, 4)
+            _state["quality"]["hard_r2_min"] = GOLDEN["hard_r2_min"]
+            _state["quality"]["hard_final_loss"] = round(loss_h, 1)
+        except Exception as e:
+            print(f"[bench] hard gate errored: {e}", file=sys.stderr)
+            _state["quality"]["hard_gate_error"] = str(e)[:200]
+            ok_hard = False
+
+    ok = ok_run and ok_easy and ok_hard
+    _state["ok"] = ok
+    _state["quality"]["gates_passed"] = bool(ok_easy and ok_hard)
+    print(f"[bench] loss {-loss[0]:.1f} -> {final_loss:.1f} "
+          f"(gap vs ungated golden {loss_gap:+.1f}, budget "
+          f"{GOLDEN['easy_loss_budget']}); "
+          f"hard r2 = {_state['quality'].get('hard_r2', 'n/a')} "
+          f"(min {GOLDEN['hard_r2_min']}); warm-up "
+          f"{_state['warm_elapsed']:.1f} s",
+          file=sys.stderr)
+
+    # ---- secondary metrics (driver artifacts, never fatal) ----
+    if int(os.environ.get("GPTPU_BENCH_SECONDARY", "1")):
+        _run_secondary(deadline)
+
+    _state["done"] = True
+    value = elapsed if ok_run else float("inf")
     _emit(value, ok)
 
 

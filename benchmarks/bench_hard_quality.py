@@ -43,6 +43,21 @@ LADDER = {
     "mid":        dict(mstep_ftol=0.3, estep_tol=1e-3, max_linesearch_steps=8),
     "gated":      dict(mstep_ftol=1.0, estep_tol=1e-3, max_linesearch_steps=4),
     "gated_ls8":  dict(mstep_ftol=1.0, estep_tol=1e-3, max_linesearch_steps=8),
+    # Relative-gate candidates (round 4): |f - f_prev| < ftol_rel * |f|
+    # transfers across loss scales where the absolute ftol=1.0 did not.
+    # Run with the dynamic schedule (the bench pins are tuned to the easy
+    # workload; on hard data the static check re-runs dynamically anyway,
+    # polluting wallclock with a doubled fit).
+    "exact_dyn":  dict(mstep_ftol=0.0, estep_tol=0.0, max_linesearch_steps=15,
+                       static_schedule=False),
+    "estep_only": dict(mstep_ftol=0.0, estep_tol=1e-3,
+                       max_linesearch_steps=15, static_schedule=False),
+    "rel_1e-4":   dict(mstep_ftol=0.0, mstep_ftol_rel=1e-4, estep_tol=1e-3,
+                       max_linesearch_steps=4, static_schedule=False),
+    "rel_3e-4":   dict(mstep_ftol=0.0, mstep_ftol_rel=3e-4, estep_tol=1e-3,
+                       max_linesearch_steps=4, static_schedule=False),
+    "rel_1e-3":   dict(mstep_ftol=0.0, mstep_ftol_rel=1e-3, estep_tol=1e-3,
+                       max_linesearch_steps=4, static_schedule=False),
 }
 
 
@@ -100,9 +115,7 @@ def run_one(name, overrides, X, R, Xte, Rte, warm=True):
     loss = np.asarray(res.track.logmarginal)
     _, _, r2, s2 = evaluate(res, jnp.asarray(Xte), jnp.asarray(Rte),
                             nbootstrap=200)
-    rec = {"name": name, **{k: overrides[k] for k in
-                            ("mstep_ftol", "estep_tol",
-                             "max_linesearch_steps")},
+    rec = {"name": name, **overrides,
            "wallclock_s": round(elapsed, 3),
            "final_loss": round(float(-loss[-1]), 2),
            "init_loss": round(float(-loss[0]), 2),

@@ -322,6 +322,17 @@ class FitConfig:
     # automatically (max_linesearch_steps is the knob that helps there).
     mstep_gtol: float = 0.0
     mstep_ftol: float = 0.0
+    # RELATIVE M-step objective-change gate: converged when
+    # |f - f_prev| < mstep_ftol + mstep_ftol_rel * |f|.  The absolute
+    # ftol does not transfer across problems — round 4's hard-regime
+    # requalification measured mstep_ftol=1.0 (tuned on the easy planted-RF
+    # data, where it cost nothing measurable) dropping held-out r2 from
+    # 0.603 to 0.444 on the hard validation regime, because the hard
+    # problem's per-step objective moves are smaller at the same loss
+    # scale.  The relative gate scales with the objective magnitude; see
+    # COVERAGE.md round-4 gate table for the measured quality/speed
+    # tradeoff.  0.0 disables (same lax.cond structure as mstep_ftol).
+    mstep_ftol_rel: float = 0.0
     # E-step early termination (relative inf-norm move of the posterior
     # mean between Newton steps; 0 = run all n_estep steps).  The alpha=1
     # Newton update converges quadratically, so late EM iterations
@@ -402,35 +413,37 @@ class FitConfig:
         return 100 if nt > 100 else nt
 
     @classmethod
-    def tpu_fast(cls, *, loss_scale: float = 1e3, pin_rank: int = None,
+    def tpu_fast(cls, *, pin_rank: int = None,
                  pin_window_w: int = None, **kwargs) -> "FitConfig":
-        """The measured TPU production preset (round-3 optimum, 21x vs the
-        reference's stored run at matching held-out r2 — the full A/B
-        ladder is in COVERAGE.md):
+        """The measured TPU production preset (requalified round 4 on the
+        HARD validation regime — the full gate ladder is in COVERAGE.md):
 
-        * convergence gates — ``mstep_ftol = 1e-3 * loss_scale`` (the
-          torch.optim.LBFGS tolerance_change analog, scaled to the
-          expected loss magnitude; the headline workload used 1.0 at a
-          final loss of ~1.7e3) and ``estep_tol = 1e-3`` (E-step Newton
-          stall gate);
+        * convergence gates — ``mstep_ftol_rel`` (RELATIVE M-step
+          objective-change gate: |f - f_prev| < rel * |f|) and
+          ``estep_tol = 1e-3`` (E-step Newton stall gate, also relative).
+          Round 3 shipped an ABSOLUTE ``mstep_ftol`` scaled by a
+          user-supplied loss_scale; requalification on the hard regime
+          (r2 ~= 0.6, where the metric can actually drop) measured that
+          preset at r2 0.603 -> 0.424 — the absolute threshold over-fires
+          on problems whose per-step objective moves are smaller at the
+          same loss scale.  The relative gate transfers (COVERAGE.md
+          round-4 gate table).
         * zoom trial budget 4 (the accepted path rarely needs more; the
           budget bounds the cost of the final failing search a gated
           M-step pays);
         * ``static_schedule`` with the given pins (dispatch all EM
-          iterations back-to-back; ONE post-hoc exactness check,
+          iterations back-to-back; post-hoc per-iteration exactness check,
           dynamic-schedule auto re-run on violation), enabled whenever a
           pin is supplied;
         * small-executable subspace lowering for init and refresh
           (``eigh_impl="subspace"``), CholQR refresh at 4 power steps.
 
-        ``loss_scale`` should be the rough magnitude of the training
-        loss (e.g. the Poisson ELL at initialization); every gate here
-        fails safe — too-tight gates merely run all configured steps,
-        and the schedule check re-runs dynamically on any violation.
-        All other fields pass through ``**kwargs``.
+        Every gate here fails safe — too-tight gates merely run all
+        configured steps, and the schedule check re-runs dynamically on
+        any violation.  All other fields pass through ``**kwargs``.
         """
         defaults = dict(
-            mstep_ftol=1e-3 * float(loss_scale),
+            mstep_ftol_rel=1e-4,
             estep_tol=1e-3,
             max_linesearch_steps=4,
             eigh_impl="subspace",

@@ -47,7 +47,8 @@ from ..optim.lbfgs import (empty_lbfgs_memory, lbfgs_minimize,
                            lbfgs_minimize_zoom_carry, zoom_carry_init)
 
 
-def _minimize(cfg: FitConfig, fun, x0, num_steps, gtol=0.0, ftol=0.0):
+def _minimize(cfg: FitConfig, fun, x0, num_steps, gtol=0.0, ftol=0.0,
+              ftol_rel=0.0):
     """Inner L-BFGS dispatch on cfg.linesearch (see FitConfig).  The
     "zoom_carry" mode only changes the M-step (state threaded through the
     EM carry); every other minimize site — the f-param updates, and the
@@ -67,7 +68,7 @@ def _minimize(cfg: FitConfig, fun, x0, num_steps, gtol=0.0, ftol=0.0):
         return x, f
     return lbfgs_minimize(fun, x0, num_steps,
                           max_linesearch_steps=cfg.max_linesearch_steps,
-                          gtol=gtol, ftol=ftol)
+                          gtol=gtol, ftol=ftol, ftol_rel=ftol_rel)
 
 
 def _mstep_carries_memory(cfg: FitConfig) -> bool:
@@ -683,7 +684,8 @@ def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
                     theta, _, mem = lbfgs_minimize_zoom_carry(
                         obj, theta, cfg.n_mstep, state=c.mem,
                         max_linesearch_steps=cfg.max_linesearch_steps,
-                        gtol=cfg.mstep_gtol, ftol=cfg.mstep_ftol)
+                        gtol=cfg.mstep_gtol, ftol=cfg.mstep_ftol,
+                        ftol_rel=cfg.mstep_ftol_rel)
                 else:
                     theta, _, mem = lbfgs_minimize_speculative(
                         obj, theta, cfg.n_mstep,
@@ -691,7 +693,8 @@ def _fit_iteration(i, c: Carry, x, r, xtilde, shared: bool, cfg: FitConfig,
             else:
                 theta, _ = _minimize(cfg, obj, theta, cfg.n_mstep,
                                      gtol=cfg.mstep_gtol,
-                                     ftol=cfg.mstep_ftol)
+                                     ftol=cfg.mstep_ftol,
+                                     ftol_rel=cfg.mstep_ftol_rel)
 
         new = Carry(theta, f_params, m_b, V_b, kern, lambda_m, lambda_var,
                     track, c.failed, c.failed_at, mem)

@@ -43,7 +43,7 @@ def population_em_program(cfg: FitConfig, shared: bool, bounds_static,
         # exact-Gram lax.cond would batch the full-contraction rebuild for
         # every lane — poison the trial instead (line search backtracks)
         cfg = dataclasses.replace(cfg, mstep_proj_fallback="poison")
-    if cfg.mstep_ftol or cfg.mstep_gtol or cfg.estep_tol:
+    if cfg.mstep_ftol or cfg.mstep_gtol or cfg.estep_tol or cfg.mstep_ftol_rel:
         # The early-termination gates are PER-CELL (single-lane)
         # optimizations: their lax.cond identity branches lower to selects
         # under vmap, so both branches execute for every lane — the gates
@@ -51,7 +51,7 @@ def population_em_program(cfg: FitConfig, shared: bool, bounds_static,
         # the trial-budget knob (max_linesearch_steps) is the lever that
         # does help vmapped fits and passes through untouched.
         cfg = dataclasses.replace(cfg, mstep_ftol=0.0, mstep_gtol=0.0,
-                                  estep_tol=0.0)
+                                  estep_tol=0.0, mstep_ftol_rel=0.0)
     if cfg.estep_solver == "schulz":
         # the warm-inverse path is a lax.cond(warm Schulz, exact Cholesky):
         # under vmap both branches execute per lane per Newton step — every

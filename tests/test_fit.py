@@ -572,10 +572,11 @@ def test_tpu_fast_preset_converges():
     (gates fail safe; no pins on this small frame so the schedule stays
     dynamic)."""
     x, r = synthetic_problem()
-    cfg = FitConfig.tpu_fast(loss_scale=100.0, ntilde=x.shape[0],
+    cfg = FitConfig.tpu_fast(ntilde=x.shape[0],
                              maxiter=5, n_estep=3, n_mstep=3,
                              n_fparamstep=3, n_px_side=N)
-    assert cfg.mstep_ftol == pytest.approx(0.1)
+    assert cfg.mstep_ftol_rel == pytest.approx(1e-4)
+    assert cfg.mstep_ftol == 0.0
     assert not cfg.static_schedule
     jth = {k: jnp.float64(v) for k, v in THETA0.items()}
     jfp = {k: jnp.float64(v) for k, v in FP0.items()}
@@ -883,3 +884,30 @@ def test_static_schedule_drift_rerun():
     np.testing.assert_allclose(np.asarray(res.track.logmarginal),
                                np.asarray(exact.track.logmarginal),
                                rtol=1e-8)
+
+
+@pytest.mark.slow
+def test_mstep_ftol_rel_gate():
+    """The RELATIVE objective-change gate (round 4): a tight relative
+    tolerance leaves the trajectory essentially unchanged; a loose one
+    still converges to the same neighborhood (gates fail safe)."""
+    import dataclasses
+    x, r = synthetic_problem()
+    base = FitConfig(ntilde=x.shape[0], maxiter=5, n_estep=3, n_mstep=4,
+                     n_fparamstep=3, n_px_side=N, jit_whole_fit=False)
+    jth = {k: jnp.float64(v) for k, v in THETA0.items()}
+    jfp = {k: jnp.float64(v) for k, v in FP0.items()}
+    r0 = fit(jnp.asarray(x), jnp.asarray(r), base, xtilde=jnp.asarray(x),
+             theta=jth, f_params=jfp)
+    r_tight = fit(jnp.asarray(x), jnp.asarray(r),
+                  dataclasses.replace(base, mstep_ftol_rel=1e-14),
+                  xtilde=jnp.asarray(x), theta=jth, f_params=jfp)
+    np.testing.assert_allclose(np.asarray(r_tight.track.logmarginal),
+                               np.asarray(r0.track.logmarginal), rtol=1e-9)
+    r_loose = fit(jnp.asarray(x), jnp.asarray(r),
+                  dataclasses.replace(base, mstep_ftol_rel=1e-3),
+                  xtilde=jnp.asarray(x), theta=jth, f_params=jfp)
+    assert not r_loose.failed
+    l0 = np.asarray(r0.track.logmarginal)
+    ll = np.asarray(r_loose.track.logmarginal)
+    assert ll[-1] > l0[0]            # still converged meaningfully
