@@ -1,0 +1,98 @@
+"""Bad-init stress of the pinned bench schedule (round 4, VERDICT item 7).
+
+The headline bench initializes theta near the planted RF (eps within one
+crop bucket), so its pinned w=80 static schedule is never stressed by a
+wrong initial window.  This run starts the SAME fit with a deliberately
+wrong theta — center off by ~30 px and beta 2x too wide — and verifies the
+pin/fallback machinery (static post-hoc check -> dynamic re-run ->
+grown-margin re-run) converges to the same answer at bounded extra cost.
+
+Prints one JSON line: wallclock, final loss vs the well-initialized run's,
+and which fallbacks fired.
+"""
+
+import json
+import os
+import sys
+import time
+import warnings
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("GPTPU_GRAD_PRECISION", "default")
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    import jax.numpy as jnp
+    from gaussian_processes_tpu.config import FitConfig
+    from gaussian_processes_tpu.models.fit import fit
+    import bench
+
+    X, R = bench.make_data()
+    X = jnp.asarray(X)
+    R = jnp.asarray(R)
+    key = jax.random.PRNGKey(0)
+    idx = jax.random.permutation(key, bench.NT)[:bench.NTILDE]
+    xtilde = X[idx]
+    cfg = bench.make_config(FitConfig)
+
+    # planted RF: center (0.1, -0.2), width 0.1.  Wrong init: center off by
+    # 30 px (30 * 2/108 ~= 0.556 in [-1,1] coords), beta 2x too wide.
+    off = 30.0 * 2.0 / bench.N_PX
+    theta_bad = {"sigma_0": 1.0, "eps_0x": 0.1 + off, "eps_0y": -0.2 + off,
+                 "-2log2beta": -2 * np.log(2 * 0.2),
+                 "-log2rho2": -np.log(2 * 0.1 ** 2), "Amp": 1.0}
+    theta_bad = {k: jnp.float32(v) for k, v in theta_bad.items()}
+    theta_good = {"sigma_0": 1.0, "eps_0x": 0.0001, "eps_0y": 0.0001,
+                  "-2log2beta": -2 * np.log(2 * 0.1),
+                  "-log2rho2": -np.log(2 * 0.1 ** 2), "Amp": 1.0}
+    theta_good = {k: jnp.float32(v) for k, v in theta_good.items()}
+    fp = {"logA": jnp.float32(np.log(0.01)), "lambda0": jnp.float32(1.0)}
+
+    def run(theta):
+        with warnings.catch_warnings(record=True) as wlist:
+            warnings.simplefilter("always")
+            res = fit(X, R, cfg, xtilde=xtilde, theta=theta, f_params=fp)
+            jax.block_until_ready(res.m_b)
+        return res, [str(w.message)[:80] for w in wlist]
+
+    res_g, _ = run(theta_good)            # warm-up + the well-init answer
+    t0 = time.perf_counter()
+    res_g, _ = run(theta_good)
+    t_good = time.perf_counter() - t0
+
+    run(theta_bad)                        # warm-up (new windows compile)
+    t0 = time.perf_counter()
+    res_b, warns = run(theta_bad)
+    t_bad = time.perf_counter() - t0
+
+    loss_g = float(-np.asarray(res_g.track.logmarginal)[-1])
+    loss_b = float(-np.asarray(res_b.track.logmarginal)[-1])
+    eps_b = (float(res_b.theta["eps_0x"]), float(res_b.theta["eps_0y"]))
+    # converged to the planted RF?
+    recovered = abs(eps_b[0] - 0.1) < 0.05 and abs(eps_b[1] + 0.2) < 0.05
+    ok = (not res_b.failed) and recovered
+
+    print(f"[bad-init] good: {t_good:.2f}s loss {loss_g:.1f}; "
+          f"bad init: {t_bad:.2f}s loss {loss_b:.1f} "
+          f"eps {eps_b}; fallbacks: {warns}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "bad_init_stress_wallclock",
+        "value": round(t_bad, 3),
+        "unit": "s",
+        "vs_baseline": round(bench.BASELINE_SECONDS / t_bad, 2) if ok else 0.0,
+        "good_init_s": round(t_good, 3),
+        "final_loss_bad_init": round(loss_b, 1),
+        "final_loss_good_init": round(loss_g, 1),
+        "recovered_center": recovered,
+        "fallbacks": warns,
+    }))
+
+
+if __name__ == "__main__":
+    main()
