@@ -50,6 +50,10 @@ LADDER = {
     # polluting wallclock with a doubled fit).
     "exact_dyn":  dict(mstep_ftol=0.0, estep_tol=0.0, max_linesearch_steps=15,
                        static_schedule=False),
+    "ls4_only":   dict(mstep_ftol=0.0, estep_tol=0.0, max_linesearch_steps=4,
+                       static_schedule=False),
+    "rel_only":   dict(mstep_ftol=0.0, mstep_ftol_rel=1e-4, estep_tol=0.0,
+                       max_linesearch_steps=4, static_schedule=False),
     "estep_only": dict(mstep_ftol=0.0, estep_tol=1e-3,
                        max_linesearch_steps=15, static_schedule=False),
     "rel_1e-4":   dict(mstep_ftol=0.0, mstep_ftol_rel=1e-4, estep_tol=1e-3,

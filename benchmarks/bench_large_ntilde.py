@@ -31,6 +31,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_PX = 48
 
 
+def _peak_hbm_gb():
+    """Peak device memory (GB) if the backend exposes it, else None."""
+    import jax
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+        return round(peak / 2 ** 30, 2) if peak else None
+    except Exception:
+        return None
+
+
 def run_at(n):
     import jax
     import jax.numpy as jnp
@@ -72,24 +83,45 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))
+    # GPTPU_LARGE_SWEEP=1: record the full HBM/scale CEILING table
+    # (64k/50k/40k attempts, wall-clock + TFLOP/s + peak HBM — round-4
+    # VERDICT item 9); default: first size that fits, largest first.
+    sweep = bool(int(os.environ.get("GPTPU_LARGE_SWEEP", "0")))
+    sizes = ((65_536, 50_000, 40_000) if sweep
+             else (50_000, 40_000, 32_768))
+    rows = []
     err = None
-    for n in (50_000, 40_000, 32_768):
+    n = t_gram = t_chol = None
+    for ni in sizes:
         try:
-            t_gram, t_chol = run_at(n)
-            break
+            tg, tc = run_at(ni)
+            peak = _peak_hbm_gb()
+            rows.append({"n": ni, "gram_s": round(tg, 2),
+                         "cholesky_s": round(tc, 2),
+                         "cholesky_tflops": round((ni ** 3 / 3.0) / tc / 1e12,
+                                                  2),
+                         "peak_hbm_gb": peak})
+            print(f"n={ni}: gram {tg:.1f}s, cholesky {tc:.1f}s "
+                  f"({rows[-1]['cholesky_tflops']:.1f} TFLOP/s), "
+                  f"peak HBM {peak} GB", file=sys.stderr)
+            if n is None:
+                n, t_gram, t_chol = ni, tg, tc
+            if not sweep:
+                break
         except Exception as e:  # OOM etc.
             err = e
-            print(f"n={n}: {type(e).__name__}: {e}", file=sys.stderr)
-    else:
+            rows.append({"n": ni, "error": f"{type(e).__name__}: "
+                                           f"{str(e)[:160]}"})
+            print(f"n={ni}: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+    if n is None:
         print(json.dumps({"metric": "large_ntilde_cholesky",
                           "value": 0.0, "unit": "TFLOP/s",
                           "vs_baseline": 0.0,
-                          "error": str(err)[:200]}))
+                          "error": str(err)[:200], "rows": rows}))
         return
 
     tflops = (n ** 3 / 3.0) / t_chol / 1e12
-    print(f"n={n}: gram {t_gram:.1f}s, cholesky {t_chol:.1f}s "
-          f"({tflops:.1f} TFLOP/s)", file=sys.stderr)
     print(json.dumps({
         "metric": f"large_ntilde_cholesky_n{n}",
         "value": round(tflops, 2),
@@ -99,6 +131,7 @@ def main():
         "vs_baseline": round(tflops, 2),
         "detail": {"n": n, "gram_s": round(t_gram, 2),
                    "cholesky_s": round(t_chol, 2)},
+        "rows": rows,
     }))
 
 

@@ -25,44 +25,48 @@ from ..params import THETA_KEYS, default_f_params, theta_bounds
 from .mesh import population_shardings
 
 
+def _vmap_safe_config(cfg: FitConfig) -> FitConfig:
+    """Rewrite vmap-hostile knobs for the batched (per-cell-lane) program.
+
+    Under vmap a lax.cond with a batched predicate lowers to a select that
+    executes BOTH branches for every lane, and a while_loop runs to the
+    all-lanes bound — so the single-lane optimizations below become pure
+    overhead (or worse) and are forced to their branchless/exact forms:
+
+    * warm-inverse / projected-Gram fallback conds -> branchless poison;
+    * convergence gates (mstep_ftol/_rel, mstep_gtol, estep_tol) -> 0
+      (their identity branches skip nothing under vmap; the trial-budget
+      knob max_linesearch_steps is the lever that does help and passes
+      through untouched);
+    * estep_solver "schulz" -> "chol" (every lane would pay 12 Schulz
+      matmul pairs ON TOP of the exact solve it falls back to);
+    * mstep_logdet "series" -> "chol" (same both-branches argument per
+      line-search trial).
+    """
+    if cfg.mstep_inverse == "schulz" and cfg.schulz_fallback == "exact":
+        cfg = dataclasses.replace(cfg, schulz_fallback="poison")
+    if (cfg.mstep_gram == "projected"
+            and cfg.mstep_proj_fallback == "exact"):
+        cfg = dataclasses.replace(cfg, mstep_proj_fallback="poison")
+    if cfg.mstep_ftol or cfg.mstep_gtol or cfg.estep_tol or cfg.mstep_ftol_rel:
+        cfg = dataclasses.replace(cfg, mstep_ftol=0.0, mstep_gtol=0.0,
+                                  estep_tol=0.0, mstep_ftol_rel=0.0)
+    if cfg.estep_solver == "schulz":
+        cfg = dataclasses.replace(cfg, estep_solver="chol")
+    if cfg.mstep_logdet == "series":
+        cfg = dataclasses.replace(cfg, mstep_logdet="chol")
+    return cfg
+
+
 def population_em_program(cfg: FitConfig, shared: bool, bounds_static,
                           win_w=None):
     """The vmapped EM fit: maps (r, theta, f_params, m, window corner) over
     the leading cell axis with (x, xtilde) shared.  The iteration body is
-    branch-free (models/fit.py), so vmap executes each stage exactly once
-    per lane; the optional crop window has a static shared side ``win_w``
-    with per-cell traced corners."""
-    if cfg.mstep_inverse == "schulz" and cfg.schulz_fallback == "exact":
-        # under vmap the exact-inverse lax.cond has a batched predicate and
-        # executes batched LU on EVERY objective call — switch to the
-        # branchless NaN-poison fallback (line search backtracks instead)
-        cfg = dataclasses.replace(cfg, schulz_fallback="poison")
-    if (cfg.mstep_gram == "projected"
-            and cfg.mstep_proj_fallback == "exact"):
-        # same vmap argument for the projected Gram's residual guard: the
-        # exact-Gram lax.cond would batch the full-contraction rebuild for
-        # every lane — poison the trial instead (line search backtracks)
-        cfg = dataclasses.replace(cfg, mstep_proj_fallback="poison")
-    if cfg.mstep_ftol or cfg.mstep_gtol or cfg.estep_tol or cfg.mstep_ftol_rel:
-        # The early-termination gates are PER-CELL (single-lane)
-        # optimizations: their lax.cond identity branches lower to selects
-        # under vmap, so both branches execute for every lane — the gates
-        # add predicate+select overhead and skip nothing.  Zero them here;
-        # the trial-budget knob (max_linesearch_steps) is the lever that
-        # does help vmapped fits and passes through untouched.
-        cfg = dataclasses.replace(cfg, mstep_ftol=0.0, mstep_gtol=0.0,
-                                  estep_tol=0.0, mstep_ftol_rel=0.0)
-    if cfg.estep_solver == "schulz":
-        # the warm-inverse path is a lax.cond(warm Schulz, exact Cholesky):
-        # under vmap both branches execute per lane per Newton step — every
-        # lane pays 12 Schulz matmul pairs ON TOP of the exact solve it
-        # falls back to.  Exact-only is strictly cheaper here.
-        cfg = dataclasses.replace(cfg, estep_solver="chol")
-    if cfg.mstep_logdet == "series":
-        # same shape: the warm trace-series logdet guards with an in-graph
-        # Cholesky fallback cond, so vmapped lanes pay series + Cholesky
-        # per line-search trial; branchless Cholesky alone is cheaper.
-        cfg = dataclasses.replace(cfg, mstep_logdet="chol")
+    branch-free (models/fit.py, knobs normalized by ``_vmap_safe_config``),
+    so vmap executes each stage exactly once per lane; the optional crop
+    window has a static shared side ``win_w`` with per-cell traced
+    corners."""
+    cfg = _vmap_safe_config(cfg)
     if win_w is None:
         prog = partial(_fit_program, has_V=False, shared=shared, cfg=cfg,
                        bounds_static=bounds_static, wt=None, wi=None)

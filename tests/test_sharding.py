@@ -208,3 +208,28 @@ def test_single_cell_fit_data_sharded():
                                np.asarray(r0.track.logmarginal), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(r1.m_b), np.asarray(r0.m_b),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_population_forces_vmap_linear_knobs():
+    """The vmapped program must rewrite vmap-hostile knobs: under vmap the
+    convergence gates and warm-solver lax.conds lower to execute-both-
+    branches selects (pure overhead per lane)."""
+    from gaussian_processes_tpu.config import FitConfig
+    from gaussian_processes_tpu.parallel.population import _vmap_safe_config
+
+    cfg = FitConfig(ntilde=16, maxiter=2, n_estep=2, n_mstep=2,
+                    n_fparamstep=2, n_px_side=8,
+                    mstep_ftol=1.0, mstep_ftol_rel=1e-4, estep_tol=1e-3,
+                    estep_solver="schulz", mstep_logdet="series",
+                    mstep_inverse="schulz", schulz_fallback="exact",
+                    linesearch="zoom", crop_window=False)
+    used = _vmap_safe_config(cfg)
+    assert used.mstep_ftol == 0.0
+    assert used.mstep_ftol_rel == 0.0
+    assert used.mstep_gtol == 0.0
+    assert used.estep_tol == 0.0
+    assert used.estep_solver == "chol"
+    assert used.mstep_logdet == "chol"
+    assert used.schulz_fallback == "poison"
+    # a vmap-safe config passes through unchanged
+    assert _vmap_safe_config(used) == used
