@@ -178,3 +178,37 @@ def test_pipelined_loop_random_arm():
     assert len(set(out.selected_idx)) == 3
     assert not any(i < 10 for i in out.selected_idx)
     assert not out.final_fit.failed
+
+
+def test_select_and_grow_unit():
+    """Device-side selection+growth math (fast gate): masked argmax, row
+    write at n, unit prior variance, mean-of-first-n warm mean — the
+    reference's cell17 update block."""
+    from gaussian_processes_tpu.models.active import _select_and_grow
+    rng = np.random.default_rng(0)
+    npool, cap, nx, rank = 12, 6, 9, 4
+    u = jnp.asarray(np.linspace(0.0, 1.0, npool))
+    used = jnp.asarray(np.zeros(npool, bool)).at[11].set(True)  # best is used
+    X_pool = jnp.asarray(rng.standard_normal((npool, nx)))
+    R_pool = jnp.asarray(rng.poisson(2.0, npool).astype(float))
+    x_buf = jnp.zeros((cap, nx))
+    r_buf = jnp.zeros(cap)
+    B = jnp.asarray(rng.standard_normal((cap, rank)))
+    m_b = jnp.asarray(rng.standard_normal(rank))
+    V_b = jnp.asarray(np.eye(rank))
+    n = jnp.asarray(3, jnp.int32)
+    xb, rb, us, m_o, V_o, best, ubest = _select_and_grow(
+        u, X_pool, R_pool, x_buf, r_buf, used, B, m_b, V_b, n)
+    assert int(best) == 10                       # 11 is masked out
+    assert float(ubest) == pytest.approx(10 / 11)
+    assert bool(us[10])
+    np.testing.assert_allclose(np.asarray(xb[3]), np.asarray(X_pool[10]))
+    assert float(rb[3]) == float(R_pool[10])
+    m_ref = np.asarray(B) @ np.asarray(m_b)
+    np.testing.assert_allclose(np.asarray(m_o[3]), m_ref[:3].mean(),
+                               rtol=1e-12)
+    V_ref = np.asarray(B) @ np.asarray(V_b) @ np.asarray(B).T
+    V_ref = 0.5 * (V_ref + V_ref.T)
+    assert float(V_o[3, 3]) == pytest.approx(1.0)
+    np.testing.assert_allclose(np.asarray(V_o[:3, :3]), V_ref[:3, :3],
+                               rtol=1e-12)
