@@ -74,10 +74,10 @@ GOLDEN = {
     # round 4 at the current exact semantics (static schedule, ls=15,
     # all gates off): timed 8.352 s, final loss 1604.0
     "easy_ungated_loss": 1604.0,
-    # the timed (gated) run may converge this much higher; the requalified
-    # preset measures within ~6 of the golden (f32 line-search noise is
-    # ~1); 25 = ~1.6% of the converged objective, far below the 80-point
-    # gap the old absolute gate left
+    # the timed run may converge this much higher than the ungated golden;
+    # the shipped ls4-only preset measures +13.7 (f32 line-search noise is
+    # ~1); 25 = ~1.6% of the converged objective, far below the 80-106
+    # point gaps of the rejected gate combos
     "easy_loss_budget": 25.0,
     # exact-semantics hard-regime fit: r2 = 0.603 +/- 0.009 (seed 0);
     # floor at -4 sigma.  The regressed absolute-ftol preset measured
@@ -157,10 +157,13 @@ def make_config(FitConfig, maxiter=None):
     Convergence gates (round 4 REQUALIFIED on the hard validation regime —
     COVERAGE.md gate table): the round-3 absolute gate mstep_ftol=1.0 was
     tuned at the easy regime's saturated r2 and measured r2 0.603 -> 0.444
-    on the hard regime; the shipped preset is now the RELATIVE gate
-    mstep_ftol_rel (objective-change < rel * |f|), which transfers across
-    loss scales, plus estep_tol=1e-3 (already relative) and the zoom trial
-    budget."""
+    on the hard regime, so it is RETRACTED from the headline.  The shipped
+    headline preset is gates-OFF + zoom trial budget 4 (measured 6.378 s,
+    loss gap +13.7 within the 25-point budget); the relative gate
+    mstep_ftol_rel + estep_tol=1e-3 remain the tpu_fast() production
+    preset, where the hard regime measures them a real win (7.5 s vs
+    9.5 s exact at -1.9 sigma) even though on this easy benchmark they
+    buy no speed (measured 8.41 s, gap +106.5 — rejected here)."""
     pin_rank = int(os.environ.get("GPTPU_BENCH_PIN_RANK", "320")) or None
     pin_w = int(os.environ.get("GPTPU_BENCH_PIN_W", "80")) or None
     return FitConfig(
@@ -201,18 +204,24 @@ def make_config(FitConfig, maxiter=None):
                                                 "2")),
         eigh_refresh_every=int(os.environ.get("GPTPU_BENCH_REFRESH_EVERY",
                                               "8")),
-        # M-step early termination: the RELATIVE objective-change gate
-        # (requalified on the hard regime, round 4 — the absolute
-        # mstep_ftol=1.0 is kept available but OFF by default after
-        # measuring its hard-regime quality cost)
+        # Convergence gates OFF by default (round-4 qualification on the
+        # easy golden): measured ls4-only 6.378 s / loss gap +13.7 vs the
+        # gate combos' +75..+106 gaps for NO additional speed (the
+        # relative mstep gate at 1e-4 never fires on easy; estep_tol=1e-3
+        # costs ~70-100 loss points here).  The gates remain available for
+        # hard/production workloads via tpu_fast() where they ARE measured
+        # wins (COVERAGE.md round-4 gate table: rel_1e-4 7.5 s vs exact_dyn
+        # 9.5 s on the hard regime at -1.9 sigma).
         mstep_ftol=float(os.environ.get("GPTPU_BENCH_MSTEP_FTOL", "0")),
         mstep_ftol_rel=float(os.environ.get("GPTPU_BENCH_MSTEP_FTOL_REL",
-                                            "1e-4")),
+                                            "0")),
         mstep_gtol=float(os.environ.get("GPTPU_BENCH_MSTEP_GTOL", "0")),
+        # Zoom trial budget 4: the one semantics-touching knob kept in the
+        # headline — measured gap +13.7 (budget 25) for 8.334 -> 6.378 s
         max_linesearch_steps=int(os.environ.get("GPTPU_BENCH_MAX_LS", "4")),
         # E-step Newton early exit on a stalled posterior mean (relative
         # inf-norm move; 0 = off, all n_estep steps)
-        estep_tol=float(os.environ.get("GPTPU_BENCH_ESTEP_TOL", "1e-3")),
+        estep_tol=float(os.environ.get("GPTPU_BENCH_ESTEP_TOL", "0")),
         # dispatch every iteration back-to-back (no in-loop schedule
         # probes); exactness checked post hoc over EVERY tracked
         # iteration's theta, with a dynamic-schedule re-run fallback
