@@ -69,10 +69,23 @@ N_FPARAMSTEP = 10
 # the UNGATED (mstep_ftol=0, estep_tol=0, max_ls=15) final loss at the
 # bench config/seed; the hard floor is the exact-semantics hard-regime r2
 # minus 3 bootstrap sigmas.
+#
+# REFRESHING THE EASY GOLDEN (round-4 VERDICT weak #6): any legitimate
+# exact-semantics change (new eigensolver default, precision change, ...)
+# shifts this constant.  Re-derive it — never hand-edit — with exactly:
+#
+#   GPTPU_BENCH_MEASURE_GOLDEN=1 GPTPU_BENCH_SECONDARY=0 \
+#   GPTPU_BENCH_HARD_GATE=0 python bench.py
+#
+# which runs the bench data/seed (make_data(seed=0), PRNGKey(0) xtilde,
+# notebook theta/f_params init) with all gates off, max_ls=15, static
+# schedule, GPTPU_GRAD_PRECISION=default, and prints the measured ungated
+# final loss + wallclock in the JSON line under "golden_remeasured".
 GOLDEN = {
     # ungated final training loss, easy bench data (seed 0): measured
     # round 4 at the current exact semantics (static schedule, ls=15,
-    # all gates off): timed 8.352 s, final loss 1604.0
+    # all gates off): timed 8.352 s, final loss 1604.0 (producing command
+    # above; GPTPU_BENCH_MEASURE_GOLDEN reproduces it)
     "easy_ungated_loss": 1604.0,
     # the timed run may converge this much higher than the ungated golden;
     # the shipped ls4-only preset measures +13.7 (f32 line-search noise is
@@ -92,7 +105,11 @@ _emitted = False
 
 
 def _emit(value, ok, provisional=False, extra=None):
-    """Print the one JSON result line exactly once."""
+    """Print the one JSON result line exactly once.  EVERY path (normal
+    completion and watchdog) attaches the current phase, the partial
+    quality/secondary state, and — when ok is False — a note saying WHY,
+    so the artifact distinguishes "gates failed" from "gates never ran"
+    (round-4 VERDICT weak #1)."""
     global _emitted
     with _emit_lock:
         if _emitted:
@@ -105,6 +122,7 @@ def _emit(value, ok, provisional=False, extra=None):
             "vs_baseline": (round(BASELINE_SECONDS / value, 2)
                             if ok and np.isfinite(value) and value > 0
                             else 0.0),
+            "phase": _state["phase"],
         }
         if provisional:
             rec["provisional"] = True
@@ -127,16 +145,17 @@ def _watchdog(budget_s: float):
         return
     # Budget exhausted: emit the best number we have and hard-exit (the
     # main thread may be stuck inside a native compile and uninterruptible).
+    note = (f"watchdog: GPTPU_BENCH_BUDGET={budget_s:.0f}s exhausted during "
+            f"phase={_state['phase']}; results after that phase never ran")
     if _state["elapsed"] is not None:
-        _emit(_state["elapsed"], _state["ok"])
+        _emit(_state["elapsed"], _state["ok"], extra={"note": note})
     elif _state["warm_elapsed"] is not None:
         _emit(_state["warm_elapsed"], True, provisional=True,
               extra={"note": "warm-up (compile-inclusive) time; timed run "
-                             "did not finish within GPTPU_BENCH_BUDGET"})
+                             "did not finish within GPTPU_BENCH_BUDGET. "
+                     + note})
     else:
-        _emit(float("inf"), False, provisional=True,
-              extra={"note": f"compile did not finish within budget "
-                             f"(phase={_state['phase']})"})
+        _emit(float("inf"), False, provisional=True, extra={"note": note})
     sys.stdout.flush()
     os._exit(3)
 
@@ -241,55 +260,75 @@ def make_data(seed=0):
     return X, R
 
 
-def _run_hard_quality_gate(jax, jnp, cfg_mod, fit, evaluate):
+def _run_hard_quality_gate(deadline, budget):
     """Fit ONE hard-regime cell with the shipped preset (dynamic schedule:
     the pins are tuned to the easy workload) and return (r2, sigma,
-    final_loss)."""
-    import dataclasses
-    from gaussian_processes_tpu.data import synthetic_retina_hard
-    from gaussian_processes_tpu.params import (default_f_params,
-                                               generate_theta, get_sta)
+    final_loss, failed).
 
-    ds = synthetic_retina_hard(n_cells=1, seed=0)
-    X, R = ds.full_train()
-    Xd = jnp.asarray(X.astype(np.float32))
-    Rd = jnp.asarray(R[:, 0].astype(np.float32))
-    Xte = jnp.asarray(ds.images_test.reshape(30, -1).astype(np.float32))
-    Rte = jnp.asarray(ds.responses_test[:, :, 0].astype(np.float32))
-
-    cfg = dataclasses.replace(make_config(cfg_mod), static_schedule=False)
-    key = jax.random.PRNGKey(0)
-    idx = jax.random.permutation(key, X.shape[0])[:cfg.ntilde]
-    xtilde = Xd[idx]
-    sta, _, (row, col) = get_sta(Xd, Rd, cfg.n_px_side)
-    lin = np.linspace(-1, 1, cfg.n_px_side)
-    theta, _, _ = generate_theta(
-        Xd, Rd, cfg.n_px_side,
-        eps_0x=float(lin[int(col)]), eps_0y=float(lin[int(row)]))
-    res = fit(Xd, Rd, cfg, xtilde=xtilde, theta=theta,
-              f_params=default_f_params())
-    _, _, r2, s2 = evaluate(res, Xte, Rte, nbootstrap=200)
-    loss = np.asarray(res.track.logmarginal)
-    return float(r2), float(s2), float(-loss[-1]), bool(res.failed)
-
-
-SECONDARY = {
-    # script, timeout (s), env overrides
-    "population": ("benchmarks/bench_population.py", 600,
-                   {"GPTPU_POP_CELLS": "8", "GPTPU_POP_SEQ": "2"}),
-    "active_refit": ("benchmarks/bench_active_refit.py", 420,
-                     {"GPTPU_REFIT_MSTEP_FTOL": "0.3",
-                      "GPTPU_REFIT_ESTEP_TOL": "1e-3"}),
-    "acquisition": ("benchmarks/bench_acquisition.py", 300, {}),
-    "acquisition_pipelined": ("benchmarks/bench_active_pipelined.py", 600,
-                              {"GPTPU_PIPE_NADD": "16"}),
-    "large_ntilde": ("benchmarks/bench_large_ntilde.py", 420, {}),
-}
-
-
-def _run_secondary(deadline):
+    Runs as a SUBPROCESS (benchmarks/bench_hard_quality.py ls4_only — the
+    exact ladder artifact, same config path through make_config) with a
+    budget-aware timeout: a cold or wedged remote compile then costs this
+    phase its own slice of the budget, never the whole artifact (the
+    round-4 BENCH_r04 failure mode: the in-process hard gate sat inside a
+    native compile until the watchdog os._exit).  Raises on timeout or
+    missing output."""
     here = os.path.dirname(os.path.abspath(__file__)) or "."
-    for name, (script, tmo, env_extra) in SECONDARY.items():
+    # Gates outrank secondaries (round-4 VERDICT item 1): reserve only
+    # 0.3x budget for them here — _run_secondary re-checks the actual
+    # remaining time per script anyway, so an overrunning gate degrades
+    # the secondary list from its tail, never the gate itself.  Measured
+    # round 5: the warm-cache gate subprocess costs ~420-500 s (cache
+    # deserialization + ~280 MB of compiled-binary transfer through the
+    # ~3 MB/s dev tunnel + the 8.9 s fit itself).
+    sec_reserve = (0.3 * budget
+                   if int(os.environ.get("GPTPU_BENCH_SECONDARY", "1"))
+                   else 60.0)
+    remaining = deadline - time.monotonic()
+    tmo = min(1000.0, max(240.0, remaining - sec_reserve - 60.0))
+    env = dict(os.environ)
+    env.setdefault("GPTPU_HARD_SEED", "0")
+    env["GPTPU_HARD_WARM"] = "0"          # gate needs quality, not timing
+    env["GPTPU_HARD_ORACLE"] = "0"        # oracle recorded offline
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(here, "benchmarks", "bench_hard_quality.py"),
+         "ls4_only"],
+        capture_output=True, text=True, env=env, cwd=here, timeout=tmo)
+    rec = None
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.strip().startswith("{"):
+            rec = json.loads(line)
+            break
+    if rec is None:
+        raise RuntimeError("hard gate produced no JSON: "
+                           + (out.stderr or "")[-200:])
+    return (float(rec["r2"]), float(rec["r2_sigma"]),
+            float(rec["final_loss"]), bool(rec["failed"]))
+
+
+# Secondary plan, SMALLEST-FIRST (round-4 VERDICT item 1a): nominal
+# timeouts are warm-cache realistic costs; _run_secondary scales them so
+# their sum never exceeds half the total bench budget, so a slow tail
+# script can never starve the artifact of the fast ones.
+SECONDARY = [
+    # name, script, nominal timeout (s), env overrides
+    ("acquisition", "benchmarks/bench_acquisition.py", 120, {}),
+    ("active_refit", "benchmarks/bench_active_refit.py", 180,
+     {"GPTPU_REFIT_MSTEP_FTOL": "0.3", "GPTPU_REFIT_ESTEP_TOL": "1e-3"}),
+    ("large_ntilde", "benchmarks/bench_large_ntilde.py", 210, {}),
+    ("acquisition_pipelined", "benchmarks/bench_active_pipelined.py", 240,
+     {"GPTPU_PIPE_NADD": "16"}),
+    ("population", "benchmarks/bench_population.py", 300,
+     {"GPTPU_POP_CELLS": "8", "GPTPU_POP_SEQ": "2"}),
+]
+
+
+def _run_secondary(deadline, budget):
+    here = os.path.dirname(os.path.abspath(__file__)) or "."
+    nominal_sum = sum(tmo for _, _, tmo, _ in SECONDARY)
+    scale = min(1.0, (0.5 * budget) / max(nominal_sum, 1))
+    for name, script, tmo, env_extra in SECONDARY:
+        tmo = max(60.0, tmo * scale)
         remaining = deadline - time.monotonic()
         if remaining < tmo * 0.5 + 30:
             _state["secondary"][name] = {"skipped": "budget exhausted"}
@@ -312,7 +351,7 @@ def _run_secondary(deadline):
                 rec if rec is not None
                 else {"error": (out.stderr or "no JSON output")[-300:]})
         except subprocess.TimeoutExpired:
-            _state["secondary"][name] = {"error": f"timeout after {tmo}s"}
+            _state["secondary"][name] = {"error": f"timeout after {tmo:.0f}s"}
         except Exception as e:
             _state["secondary"][name] = {"error": str(e)[:300]}
 
@@ -352,6 +391,16 @@ def main():
     f_params = {"logA": jnp.float32(np.log(0.01)),
                 "lambda0": jnp.float32(1.0)}
 
+    # Golden-refresh mode (see the GOLDEN comment): run the UNGATED exact
+    # config and report the measured golden instead of gating against it.
+    measure_golden = bool(int(os.environ.get("GPTPU_BENCH_MEASURE_GOLDEN",
+                                             "0")))
+    if measure_golden:
+        os.environ["GPTPU_BENCH_MAX_LS"] = "15"
+        os.environ["GPTPU_BENCH_MSTEP_FTOL"] = "0"
+        os.environ["GPTPU_BENCH_MSTEP_FTOL_REL"] = "0"
+        os.environ["GPTPU_BENCH_ESTEP_TOL"] = "0"
+
     cfg = make_config(FitConfig)
 
     def run():
@@ -374,12 +423,30 @@ def main():
     ok_run = bool(np.all(np.isfinite(loss))) and not res.failed
     final_loss = float(-loss[-1])
 
+    if measure_golden:
+        _state["phase"] = "measure_golden"
+        _state["quality"]["golden_remeasured"] = {
+            "easy_ungated_loss": round(final_loss, 1),
+            "wallclock_s": round(elapsed, 3),
+            "previous_constant": GOLDEN["easy_ungated_loss"],
+        }
+        _state["done"] = True
+        _emit(elapsed, ok_run,
+              extra={"note": "GPTPU_BENCH_MEASURE_GOLDEN=1: ungated golden "
+                             "re-measurement, not a gated headline run"})
+        return
+
     # ---- quality gate 1: gated-vs-golden loss on the easy bench data ----
     loss_gap = final_loss - GOLDEN["easy_ungated_loss"]
     ok_easy = ok_run and (loss_gap <= GOLDEN["easy_loss_budget"])
     _state["quality"]["easy_final_loss"] = round(final_loss, 1)
     _state["quality"]["easy_loss_gap_vs_ungated_golden"] = round(loss_gap, 1)
     _state["quality"]["easy_loss_budget"] = GOLDEN["easy_loss_budget"]
+    # NOTE: _state["ok"] stays False until BOTH gates complete — a watchdog
+    # emission mid-hard-gate reports vs_baseline 0.0 with quality.easy_gate_ok
+    # and a phase note, so "gates never finished" is visible but never
+    # counted as a pass.
+    _state["quality"]["easy_gate_ok"] = bool(ok_easy)
 
     # easy held-out r2 (informational: saturates at ~1.0 by construction)
     try:
@@ -403,7 +470,7 @@ def main():
         _state["phase"] = "hard_gate"
         try:
             r2h, s2h, loss_h, failed_h = _run_hard_quality_gate(
-                jax, jnp, FitConfig, fit, evaluate)
+                deadline, budget)
             ok_hard = (not failed_h) and (r2h >= GOLDEN["hard_r2_min"])
             _state["quality"]["hard_r2"] = round(r2h, 4)
             _state["quality"]["hard_r2_sigma"] = round(s2h, 4)
@@ -413,6 +480,7 @@ def main():
             print(f"[bench] hard gate errored: {e}", file=sys.stderr)
             _state["quality"]["hard_gate_error"] = str(e)[:200]
             ok_hard = False
+        _state["quality"]["hard_gate_ok"] = bool(ok_hard)
 
     ok = ok_run and ok_easy and ok_hard
     _state["ok"] = ok
@@ -427,11 +495,23 @@ def main():
 
     # ---- secondary metrics (driver artifacts, never fatal) ----
     if int(os.environ.get("GPTPU_BENCH_SECONDARY", "1")):
-        _run_secondary(deadline)
+        _run_secondary(deadline, budget)
 
+    _state["phase"] = "complete"
     _state["done"] = True
     value = elapsed if ok_run else float("inf")
-    _emit(value, ok)
+    extra = None
+    if not ok:
+        why = []
+        if not ok_run:
+            why.append("run failed/non-finite loss")
+        if not ok_easy:
+            why.append(f"easy loss gap {loss_gap:+.1f} > budget "
+                       f"{GOLDEN['easy_loss_budget']}")
+        if not ok_hard:
+            why.append("hard-regime r2 gate failed")
+        extra = {"note": "gates FAILED: " + "; ".join(why)}
+    _emit(value, ok, extra=extra)
 
 
 if __name__ == "__main__":

@@ -78,7 +78,8 @@ def make_hard_problem(seed=0):
             Rte.astype(np.float32), ds)
 
 
-def run_one(name, overrides, X, R, Xte, Rte, warm=True):
+def run_one(name, overrides, X, R, Xte, Rte,
+            warm=bool(int(os.environ.get("GPTPU_HARD_WARM", "1")))):
     import jax
     import jax.numpy as jnp
     from gaussian_processes_tpu.config import FitConfig
@@ -148,11 +149,15 @@ def main():
     lam = ds.ground_truth_rates_test[:, 0]
     print(f"[hard] mean train rate {R.mean():.2f} spk/img; "
           f"test rate mean {lam.mean():.2f}", file=sys.stderr)
-    # oracle: the true rate as predictor — the noise-correction sanity check
-    from gaussian_processes_tpu.models.inference import explained_variance
-    r2o, s2o = explained_variance(Rte, lam, nbootstrap=200)
-    print(f"[hard] oracle (true-rate) r2 = {float(r2o):.3f} "
-          f"+/- {float(s2o):.3f}", file=sys.stderr)
+    if int(os.environ.get("GPTPU_HARD_ORACLE", "1")):
+        # oracle: true rate as predictor — the noise-correction sanity
+        # check (bench.py's gate sets GPTPU_HARD_ORACLE=0: the oracle is
+        # seed-determined and already recorded; skipping saves its eval
+        # inside the bench budget)
+        from gaussian_processes_tpu.models.inference import explained_variance
+        r2o, s2o = explained_variance(Rte, lam, nbootstrap=200)
+        print(f"[hard] oracle (true-rate) r2 = {float(r2o):.3f} "
+              f"+/- {float(s2o):.3f}", file=sys.stderr)
     for name in names:
         run_one(name, LADDER[name], X, R, Xte, Rte)
 

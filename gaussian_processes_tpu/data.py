@@ -173,7 +173,30 @@ def synthetic_retina_hard(n_px_side: int = 108, n_train: int = 2910,
     Defaults were tuned (round 4) so the UNGATED headline-config fit
     measures r^2 ~= 0.7; see benchmarks/bench_hard_quality.py and
     COVERAGE.md's gate-requalification table.
+
+    Generation costs ~48 s of single-core CPU (the Gaussian low-pass over
+    ~7,200 images dominates); because bench.py's hard quality gate and the
+    multi-seed ladder runs re-create the same dataset in fresh processes,
+    the result is disk-cached under ``GPTPU_DATA_CACHE`` (default
+    ``<repo>/.data_cache``; set to empty to disable), keyed by every
+    generator parameter.
     """
+    cache_key = ("hard-v1", n_px_side, n_train, n_val, n_test, n_repeats,
+                 n_cells, gain, energy_weight, surround_weight,
+                 surround_scale, stim_corr_sigma, rate_scale, seed)
+    cache_dir = os.environ.get(
+        "GPTPU_DATA_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".data_cache"))
+    cache_path = None
+    if cache_dir:
+        import hashlib
+        h = hashlib.sha1(repr(cache_key).encode()).hexdigest()[:16]
+        cache_path = os.path.join(cache_dir, f"retina_hard_{h}.pkl")
+        if os.path.exists(cache_path):
+            with open(cache_path, "rb") as fh:
+                return pickle.load(fh)
+
     rng = np.random.default_rng(seed)
 
     cxs = rng.uniform(-0.35, 0.35, n_cells)
@@ -239,6 +262,12 @@ def synthetic_retina_hard(n_px_side: int = 108, n_train: int = 2910,
     ds.ground_truth_rfs = ws_lin
     ds.ground_truth_energy_rfs = ws_en
     ds.ground_truth_rates_test = lam_te
+    if cache_path is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as fh:
+            pickle.dump(ds, fh, protocol=4)
+        os.replace(tmp, cache_path)
     return ds
 
 

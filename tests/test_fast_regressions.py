@@ -136,12 +136,17 @@ def test_mstep_objective_finite_difference_fast():
     V_b = jnp.diag(es.k_tilde_b_diag) * 0.9
     lower, upper = theta_bounds()
 
+    import jax
+
+    # jit both programs once: the 12 finite-difference evaluations and the
+    # grad dominate this test's runtime when dispatched eagerly (measured
+    # 16.5 s eager vs ~6 s jitted at these shapes on one CPU core)
+    @jax.jit
     def obj(th):
         return _mstep_objective(th, x, xtilde, r, es, m_b, V_b,
                                 f_params, False, cfg, lower, upper)
 
-    import jax
-    g = jax.grad(obj)(theta)
+    g = jax.jit(jax.grad(obj))(theta)
     eps_fd = 1e-6
     for k in THETA_KEYS:
         tp = dict(theta); tp[k] = theta[k] + eps_fd

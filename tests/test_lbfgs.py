@@ -18,9 +18,12 @@ def test_early_termination_tolerances_inactive_match_full():
     """Tolerances tight enough to never fire must reproduce the plain run
     bit-for-bit (the converged branch is an identity copy)."""
     x0 = jnp.zeros(4)
-    x_full, f_full = lbfgs_minimize(quad, x0, 30)
-    x_g, f_g = lbfgs_minimize(quad, x0, 30, gtol=1e-8)
-    x_f, f_f = lbfgs_minimize(quad, x0, 30, ftol=1e-12)
+    # 12 steps solve the 4-d quadratic to machine precision; the eager
+    # zoom line search costs ~0.15 s/step on one CPU core (fast-gate
+    # budget), so don't run 30
+    x_full, f_full = lbfgs_minimize(quad, x0, 12)
+    x_g, f_g = lbfgs_minimize(quad, x0, 12, gtol=1e-8)
+    x_f, f_f = lbfgs_minimize(quad, x0, 12, ftol=1e-12)
     # the quadratic is solved to machine precision either way
     np.testing.assert_allclose(float(f_g), float(f_full), atol=1e-10)
     np.testing.assert_allclose(float(f_f), float(f_full), atol=1e-10)
