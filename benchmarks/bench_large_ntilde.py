@@ -60,19 +60,24 @@ def run_at(n):
         ("-log2rho2", -np.log(2 * 0.1 ** 2)), ("Amp", 1.0)]}
     xt = jnp.asarray(xt)
 
+    # Timing barrier: on this backend block_until_ready() on the donated
+    # host-loop chain acknowledges before device completion (measured:
+    # 0.19 s "Cholesky" at n=50k — physically impossible for the
+    # deliberately-overcounted ~2e14-flop left-looking design).  A VALUE
+    # readback is the only trustworthy barrier, so the sanity-check
+    # diagonal read moves INSIDE the timed region.
     t0 = time.perf_counter()
     K = large_gram(theta, xt, N_PX, mesh=None)
-    K.block_until_ready()
+    float(jnp.sum(jnp.diagonal(K)[:: max(n // 64, 1)]))
     t_gram = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     # nb=2048 -> _pick_block gives 2500-wide blocks at n=50k: the n x nb
     # loop temporaries stay ~0.5 GB each, peak ~12.5 GB of 15.75 GB HBM
     L = large_cholesky(K, mesh=None, jitter=1.0, nb=2048)
-    L.block_until_ready()
+    d = np.asarray(jnp.diagonal(L)[:: max(n // 64, 1)])
     t_chol = time.perf_counter() - t0
     # sanity: diagonal of L positive and finite
-    d = np.asarray(jnp.diagonal(L)[:: max(n // 64, 1)])
     assert np.all(np.isfinite(d)) and np.all(d > 0), "factorization failed"
     del K  # donated into L anyway
     return t_gram, t_chol
@@ -87,8 +92,49 @@ def main():
     # (64k/50k/40k attempts, wall-clock + TFLOP/s + peak HBM — round-4
     # VERDICT item 9); default: first size that fits, largest first.
     sweep = bool(int(os.environ.get("GPTPU_LARGE_SWEEP", "0")))
-    sizes = ((65_536, 50_000, 40_000) if sweep
+    one = os.environ.get("GPTPU_LARGE_ONE")
+    sizes = ((int(one),) if one
+             else (65_536, 50_000, 40_000) if sweep
              else (50_000, 40_000, 32_768))
+
+    if sweep and not one:
+        # Each size in its OWN process: a failed attempt (the 65k single
+        # -buffer ceiling crashes the remote compile helper) leaves the
+        # device holding allocations that never free inside this process
+        # (measured: the following 50k/40k rows ResourceExhausted even
+        # with the exception traceback dropped) — exit-time teardown is
+        # the only reliable cleanup on this backend.
+        import subprocess
+        rows = []
+        for ni in sizes:
+            env = dict(os.environ)
+            env["GPTPU_LARGE_ONE"] = str(ni)
+            env["GPTPU_LARGE_SWEEP"] = "0"
+            try:
+                out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                     capture_output=True, text=True, env=env,
+                                     timeout=1200)
+                sys.stderr.write(out.stderr[-500:])
+                rec = None
+                for line in reversed(out.stdout.strip().splitlines()):
+                    if line.strip().startswith("{"):
+                        rec = json.loads(line)
+                        break
+                rows.extend(rec.get("rows", []) if rec else
+                            [{"n": ni, "error": "no JSON output"}])
+            except subprocess.TimeoutExpired:
+                rows.append({"n": ni, "error": "timeout after 1200s"})
+        done = [r for r in rows if "error" not in r]
+        best = done[0] if done else None
+        print(json.dumps({
+            "metric": ("large_ntilde_cholesky_n%d" % best["n"]) if best
+                      else "large_ntilde_cholesky",
+            "value": best["cholesky_tflops"] if best else 0.0,
+            "unit": "TFLOP/s",
+            "vs_baseline": best["cholesky_tflops"] if best else 0.0,
+            "rows": rows}))
+        return
+
     rows = []
     err = None
     n = t_gram = t_chol = None
@@ -109,11 +155,17 @@ def main():
             if not sweep:
                 break
         except Exception as e:  # OOM etc.
-            err = e
-            rows.append({"n": ni, "error": f"{type(e).__name__}: "
-                                           f"{str(e)[:160]}"})
+            # keep only the STRING: holding the exception object keeps its
+            # traceback frames -> the failed attempt's device arrays ->
+            # the next (smaller) size OOMs on a full HBM (observed:
+            # 65k compile failure starved the 50k/40k rows)
+            err = f"{type(e).__name__}: {str(e)[:160]}"
+            rows.append({"n": ni, "error": err})
             print(f"n={ni}: {type(e).__name__}: {str(e)[:200]}",
                   file=sys.stderr)
+            del e
+            import gc
+            gc.collect()
     if n is None:
         print(json.dumps({"metric": "large_ntilde_cholesky",
                           "value": 0.0, "unit": "TFLOP/s",
