@@ -179,3 +179,32 @@ def test_orbax_roundtrip(tmp_path):
     r1, _, _ = predict(res, xs)
     r2, _, _ = predict(loaded, xs)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-12)
+
+
+def test_synthetic_retina_hard_disk_cache(tmp_path, monkeypatch):
+    """The hard-regime generator's disk cache must round-trip the full
+    Dataset including the ground-truth attachments, and distinct
+    parameters must not collide (the key covers every generator arg)."""
+    from gaussian_processes_tpu.data import synthetic_retina_hard
+
+    monkeypatch.setenv("GPTPU_DATA_CACHE", str(tmp_path / "dc"))
+    kw = dict(n_px_side=16, n_train=30, n_val=8, n_test=5, n_repeats=4,
+              n_cells=2, seed=3)
+    ds1 = synthetic_retina_hard(**kw)
+    files = list((tmp_path / "dc").glob("retina_hard_*.pkl"))
+    assert len(files) == 1
+    ds2 = synthetic_retina_hard(**kw)          # served from disk
+    np.testing.assert_array_equal(ds1.images_train, ds2.images_train)
+    np.testing.assert_array_equal(ds1.responses_test, ds2.responses_test)
+    np.testing.assert_array_equal(ds1.ground_truth_rates_test,
+                                  ds2.ground_truth_rates_test)
+    np.testing.assert_array_equal(ds1.ground_truth_rfs, ds2.ground_truth_rfs)
+    # a different seed is a different cache entry, not a stale hit
+    ds3 = synthetic_retina_hard(**{**kw, "seed": 4})
+    assert len(list((tmp_path / "dc").glob("retina_hard_*.pkl"))) == 2
+    assert not np.array_equal(ds1.images_train, ds3.images_train)
+    # disabling the cache bypasses disk entirely
+    monkeypatch.setenv("GPTPU_DATA_CACHE", "")
+    ds4 = synthetic_retina_hard(**kw)
+    np.testing.assert_array_equal(ds1.images_train, ds4.images_train)
+    assert len(list((tmp_path / "dc").glob("retina_hard_*.pkl"))) == 2
